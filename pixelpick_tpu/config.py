@@ -1,0 +1,263 @@
+"""Configuration / flag surface.
+
+Recreates the public flag surface and per-dataset hyper-parameter blocks of
+the reference (``/root/reference/args.py:10-205``), as first-class config:
+
+- every reference flag is preserved with the same name, default and choices
+  (``args.py:14-55``), plus ``--p_dataset_config`` / ``--p_state_dict`` /
+  ``--eval_interval`` which the reference only adds in per-tool ``__main__``
+  blocks (a known defect, ``args.py:79`` vs ``train.py:193-195``) — here they
+  are always present;
+- per-dataset hyper-parameter blocks (``args.py:88-152``): batch size,
+  ignore index, mean/std, #classes, #epochs, optimizer and LR-schedule
+  choices;
+- the derived augmentation dict (``args.py:64-76``), ``stride_total``
+  (``args.py:77``), YAML overlay (``args.py:79-85``) and the experiment-name
+  builder (``args.py:154-180``);
+- TPU-native extensions (all optional, default to reference-faithful
+  behaviour): compute precision, cross-replica BatchNorm, pool-scoring batch
+  size, data-parallel mesh size.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from argparse import ArgumentParser, Namespace
+from pprint import pformat
+
+import numpy as np
+import yaml
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser("PixelPick-TPU")
+
+    # generic (reference args.py:14-21)
+    parser.add_argument("--debug", "-d", action="store_true", default=False)
+    parser.add_argument("--dir_root", type=str, default="..")
+    parser.add_argument("--dir_checkpoints", type=str, default="")
+    parser.add_argument("--gpu_ids", type=str, nargs="+", default="0",
+                        help="kept for CLI compatibility; ignored on TPU")
+    parser.add_argument("--n_workers", type=int, default=4)
+    parser.add_argument("--network_name", type=str, default="deeplab",
+                        choices=["deeplab", "FPN"])
+    parser.add_argument("--seed", "-s", type=int, default=0)
+    parser.add_argument("--suffix", type=str, default="")
+
+    # active learning (args.py:24-28)
+    parser.add_argument("--n_pixels_by_us", type=int, default=10,
+                        help="# pixels selected by uncertainty sampling per round")
+    parser.add_argument("--top_n_percent", type=float, default=0.05)
+    parser.add_argument("--query_strategy", "-qs", type=str, default="margin_sampling",
+                        choices=["least_confidence", "margin_sampling", "entropy", "random"])
+    parser.add_argument("--reverse_order", action="store_true", default=False)
+
+    # MC-dropout committee (args.py:31-34)
+    parser.add_argument("--use_mc_dropout", action="store_true", default=False)
+    parser.add_argument("--mc_dropout_p", type=float, default=0.2)
+    parser.add_argument("--mc_n_steps", type=int, default=20)
+    parser.add_argument("--vote_type", type=str, default="soft", choices=["soft", "hard"])
+
+    # budget (args.py:37-39)
+    parser.add_argument("--n_init_pixels", type=int, default=0)
+    parser.add_argument("--max_budget", type=int, default=100,
+                        help="maximum budget in pixels per image")
+    parser.add_argument("--nth_query", type=int, default=1)
+
+    # dataset (args.py:42-47)
+    parser.add_argument("--dataset_name", type=str, default="cv",
+                        choices=["cs", "cv", "voc", "custom"])
+    parser.add_argument("--dir_datasets", type=str, default="/datasets")
+    parser.add_argument("--downsample", type=int, default=4,
+                        help="downsample factor for the Cityscapes training set")
+    parser.add_argument("--use_aug", type=lambda s: s not in ("0", "false", "False"),
+                        default=True)
+    parser.add_argument("--use_augmented_dataset", action="store_true", default=False)
+
+    # encoder (args.py:50-55)
+    parser.add_argument("--n_layers", type=int, default=50, choices=[18, 34, 50, 101])
+    parser.add_argument("--use_dilated_resnet", type=lambda s: s not in ("0", "false", "False"),
+                        default=True)
+    parser.add_argument("--weight_type", type=str, default="supervised",
+                        choices=["random", "supervised", "moco_v2"])
+    parser.add_argument("--width_multiplier", type=float, default=1.0)
+
+    # flags the reference only defines in tool __main__s (train.py:187-195,
+    # query.py:364-367, eval.py:104-109) — first-class here
+    parser.add_argument("--p_dataset_config", "-pdc", type=str, default=None)
+    parser.add_argument("--p_state_dict", type=str, default="")
+    parser.add_argument("--eval_interval", type=int, default=1)
+
+    # ---- TPU-native extensions (no reference equivalent) ----
+    parser.add_argument("--precision", type=str, default="f32",
+                        choices=["f32", "bf16"],
+                        help="compute dtype for conv/matmul inside the model")
+    parser.add_argument("--sync_bn", action="store_true", default=False,
+                        help="cross-replica BatchNorm statistics (psum over the "
+                             "data mesh axis); default mimics the reference's "
+                             "single-device BN")
+    parser.add_argument("--pool_batch_size", type=int, default=16,
+                        help="images per device step during pool scoring "
+                             "(reference uses batch-size 1, query.py:159)")
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="number of devices on the ('data',) mesh axis; "
+                             "0 = all available devices")
+    parser.add_argument("--pretrained_ckpt", type=str, default="",
+                        help="path to a converted pretrained backbone "
+                             "checkpoint (see models/convert.py)")
+    return parser
+
+
+# per-dataset hyper-parameter blocks, mirroring reference args.py:88-152
+DATASET_DEFAULTS = {
+    "cs": dict(
+        batch_size=4,
+        ignore_index=19,
+        mean=[0.28689554, 0.32513303, 0.28389177],
+        std=[0.18696375, 0.19017339, 0.18720214],
+        n_classes=19,
+        n_epochs=50,
+        optimizer_type="Adam",
+        lr_scheduler_type="Poly",
+        optimizer_params={"lr": 5e-4, "betas": (0.9, 0.999),
+                          "weight_decay": 2e-4, "eps": 1e-7},
+        dir_dataset_name="cityscapes",
+    ),
+    "cv": dict(
+        batch_size=4,
+        downsample=1,
+        ignore_index=11,
+        mean=[0.41189489566336, 0.4251328133025, 0.4326707089857],
+        std=[0.27413549931506, 0.28506257482912, 0.28284674400252],
+        n_classes=11,
+        n_epochs=50,
+        optimizer_type="Adam",
+        lr_scheduler_type="MultiStepLR",
+        optimizer_params={"lr": 5e-4, "betas": (0.9, 0.999),
+                          "weight_decay": 2e-4, "eps": 1e-7},
+        dir_dataset_name="camvid",
+    ),
+    "voc": dict(
+        batch_size=10,
+        ignore_index=255,
+        mean=[0.485, 0.456, 0.406],
+        std=[0.229, 0.224, 0.225],
+        n_classes=21,
+        n_epochs=50,
+        size_base=400,
+        size_crop=320,
+        optimizer_type="SGD",
+        lr_scheduler_type="Poly",
+        optimizer_params={"lr": 1e-2, "weight_decay": 1e-4, "momentum": 0.9},
+        dir_dataset_name="VOC2012",
+    ),
+}
+
+
+def finalize_args(args: Namespace, write_files: bool = True) -> Namespace:
+    """Apply derived fields, dataset blocks, YAML overlay, naming and seeding.
+
+    Mirrors reference ``args.py:59-205`` (parse_args body).
+    """
+    args.augmentations = {
+        "geometric": {
+            "random_scale": args.use_aug,
+            "random_hflip": args.use_aug,
+            "crop": args.use_aug,
+        },
+        "photometric": {
+            "random_color_jitter": args.use_aug,
+            "random_grayscale": args.use_aug,
+            "random_gaussian_blur": args.use_aug,
+        },
+    }
+    args.stride_total = 8 if args.use_dilated_resnet else 32
+
+    if getattr(args, "p_dataset_config", None):
+        if not os.path.exists(args.p_dataset_config):
+            raise FileNotFoundError(args.p_dataset_config)
+        with open(args.p_dataset_config) as f:
+            overlay = yaml.safe_load(f)
+        d = vars(args)
+        d.update(overlay)
+        args = Namespace(**d)
+    else:
+        block = DATASET_DEFAULTS.get(args.dataset_name)
+        if block is None:
+            raise ValueError(f"Unsupported dataset name: {args.dataset_name}; "
+                             f"pass --p_dataset_config for a custom dataset")
+        for k, v in block.items():
+            if k == "dir_dataset_name":
+                if not getattr(args, "dir_dataset", None):
+                    args.dir_dataset = os.path.join(args.dir_datasets, v)
+            else:
+                setattr(args, k, v)
+
+    # experiment-name builder (args.py:154-180)
+    kw = [args.dataset_name]
+    if args.dataset_name == "cs":
+        kw.append(f"d{args.downsample}")
+    kw.append(args.network_name)
+    if args.network_name == "FPN":
+        kw += [str(args.n_layers), str(args.weight_type)]
+    if args.n_pixels_by_us > 0:
+        kw.append(args.query_strategy)
+        if args.use_mc_dropout:
+            kw.append(args.vote_type)
+        kw.append(str(args.n_pixels_by_us))
+        if args.top_n_percent > 0.0:
+            kw.append(f"p{args.top_n_percent}")
+        if args.reverse_order:
+            kw.append("reverse")
+    else:
+        kw.append("fully_sup")
+    kw.append(str(args.seed))
+    if args.suffix:
+        kw.append(args.suffix)
+    if args.debug:
+        kw.append("debug")
+    args.experim_name = "_".join(kw)
+
+    if not args.dir_checkpoints:
+        args.dir_checkpoints = f"{args.dir_root}/checkpoints/{args.experim_name}"
+    if write_files:
+        os.makedirs(args.dir_checkpoints, exist_ok=True)
+        with open(f"{args.dir_checkpoints}/args.txt", "w") as f:
+            f.write(pformat(vars(args)))
+
+    # host-side seeding; device RNG is handled by explicit jax PRNG keys
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    return args
+
+
+class Arguments:
+    """Drop-in replacement for the reference ``Arguments`` class (args.py:10)."""
+
+    def __init__(self):
+        self.parser = build_parser()
+
+    def parse_args(self, argv=None, verbose: bool = False) -> Namespace:
+        args = self.parser.parse_args(argv)
+        args = finalize_args(args)
+        if verbose:
+            for k, v in sorted(vars(args).items()):
+                print(k, v)
+        print(f"\nmodel name: {args.experim_name}\n")
+        return args
+
+
+def default_args(dataset_name: str = "cv", write_files: bool = False,
+                 **overrides) -> Namespace:
+    """Programmatic config: defaults for ``dataset_name`` plus overrides."""
+    parser = build_parser()
+    args = parser.parse_args([])
+    args.dataset_name = dataset_name
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    args = finalize_args(args, write_files=write_files)
+    for k, v in overrides.items():  # overrides win over dataset blocks too
+        if k in vars(args):
+            setattr(args, k, v)
+    return args
