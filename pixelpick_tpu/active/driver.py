@@ -1,0 +1,229 @@
+"""The active-learning driver — reference ``model.py:14 Model``.
+
+Round loop (``model.py:53-91``): for each of ``max_budget // n_pixels_by_us``
+stages — train a *fresh* model for ``n_epochs`` with per-epoch validation and
+best-mIoU checkpointing, sweep the unlabelled pool for the next pixel batch,
+oracle-label it, merge into the query masks, dump per-round artifacts
+(``queries.pkl``, ``query_stats.pkl``, CSV logs, 6-panel PNGs). Fully
+supervised mode when ``n_pixels_by_us == 0``.
+
+TPU-native execution: the epoch is a host loop over jitted fused steps with
+device-resident metric accumulation; validation and pool scoring are
+batched jitted programs (see engine/trainer.py, active/acquisition.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixelpick_tpu.active.acquisition import uncertainty_map
+from pixelpick_tpu.active.selector import QuerySelector
+from pixelpick_tpu.data import get_dataset, Loader
+from pixelpick_tpu.engine.checkpoint import save_checkpoint
+from pixelpick_tpu.engine.optim import make_optimizer
+from pixelpick_tpu.engine.trainer import (
+    TrainState, create_train_state, make_dense_train_step, make_eval_step,
+    make_forward_fn, make_train_step,
+)
+from pixelpick_tpu.models import get_model, init_model
+from pixelpick_tpu.parallel.mesh import shard_batch, get_mesh
+from pixelpick_tpu.utils.logging import write_log
+from pixelpick_tpu.utils.metrics import AverageMeter, RunningScore, scores_from_confusion
+from pixelpick_tpu.utils.visualiser import Visualiser
+
+
+class ALModel:
+    def __init__(self, args, human_labels: bool = False):
+        self.args = args
+        self.debug = args.debug
+        self.dir_checkpoints = args.dir_checkpoints
+        self.experim_name = args.experim_name
+        self.human_labels = human_labels
+        self.best_miou = -1.0
+        self.nth_query = -1
+
+        self.dataset = get_dataset(args, val=False, query=False)
+        self.dataset_query = get_dataset(args, val=False, query=True,
+                                         generate_init_queries=False)
+        self.dataset_query.queries = self.dataset.queries  # shared masks
+        self.dataset_query.n_pixels_total = self.dataset.n_pixels_total
+        self.dataset_val = get_dataset(args, val=True, query=False)
+
+        fully_sup = args.n_pixels_by_us == 0
+        self.loader = Loader(self.dataset, args.batch_size,
+                             mode="train_dense" if fully_sup else "train",
+                             shuffle=True, n_workers=args.n_workers,
+                             seed=args.seed, human_labels=human_labels)
+        self.loader_query = Loader(self.dataset_query, args.pool_batch_size,
+                                   mode="query", shuffle=False,
+                                   n_workers=args.n_workers, seed=args.seed,
+                                   human_labels=human_labels)
+        self.loader_val = Loader(self.dataset_val, 1, mode="val",
+                                 shuffle=False, n_workers=args.n_workers)
+
+        self.model = get_model(args)
+        self.mesh = get_mesh(args)
+        self.vis = Visualiser(args.dataset_name)
+        self.query_selector = QuerySelector(args, self.loader_query, self.model)
+        self._forward = make_forward_fn(self.model, mean=args.mean, std=args.std)
+        self.running_loss = AverageMeter()
+
+    # ----------------------------- rounds -----------------------------
+
+    def __call__(self):
+        args = self.args
+        if args.n_pixels_by_us == 0:
+            self._run_stage("fully_sup")
+            return
+        n_stages = args.max_budget // args.n_pixels_by_us
+        n_stages += 1 if args.n_init_pixels > 0 else 0
+        print("n_stages:", n_stages)
+        for nth_query in range(n_stages):
+            self.nth_query = nth_query
+            params, batch_stats = self._run_stage(f"{nth_query}_query")
+            if nth_query == n_stages - 1:
+                break
+            queries = self.query_selector(nth_query, params, batch_stats,
+                                          human_labels=self.human_labels)
+            self.dataset.label_queries(queries, nth_query + 1)
+
+    def _run_stage(self, stage_name: str) -> Tuple:
+        args = self.args
+        dir_stage = f"{self.dir_checkpoints}/{stage_name}"
+        os.makedirs(dir_stage, exist_ok=True)
+        self.log_train = f"{dir_stage}/log_train.txt"
+        self.log_val = f"{dir_stage}/log_val.txt"
+        write_log(self.log_train, header=["epoch", "mIoU", "pixel_acc", "loss"])
+        write_log(self.log_val, header=["epoch", "mIoU", "pixel_acc"])
+
+        # fresh model per round (model.py:163)
+        round_seed = (args.seed * 7919 + self.nth_query + 1) & 0x7FFFFFFF
+        params, batch_stats = init_model(
+            self.model, jax.random.PRNGKey(round_seed), self.dataset.crop_size)
+        tx = make_optimizer(args, params, iters_per_epoch=len(self.loader))
+        state = create_train_state(params, batch_stats, tx)
+
+        fully_sup = args.n_pixels_by_us == 0
+        if fully_sup:
+            step_fn = make_dense_train_step(
+                self.model, tx, n_classes=args.n_classes,
+                ignore_index=args.ignore_index, mean=args.mean, std=args.std)
+        else:
+            step_fn = make_train_step(
+                self.model, tx, n_classes=args.n_classes,
+                mean=args.mean, std=args.std)
+        eval_fn = make_eval_step(self.model, n_classes=args.n_classes,
+                                 mean=args.mean, std=args.std)
+
+        self.best_miou = -1.0
+        rng = jax.random.PRNGKey(round_seed ^ 0x5EED)
+        for epoch in range(1, 1 + args.n_epochs):
+            state = self._train_epoch(epoch, state, step_fn, rng, dir_stage)
+            self._val(epoch, state, eval_fn, dir_stage)
+            if self.debug:
+                break
+        return state.params, state.batch_stats
+
+    # ----------------------------- epochs -----------------------------
+
+    def _train_epoch(self, epoch: int, state: TrainState, step_fn, rng,
+                     dir_stage: str) -> TrainState:
+        args = self.args
+        if args.n_pixels_by_us:
+            print(f"training epoch {epoch} of {self.nth_query}th query "
+                  f"({self.dataset.n_pixels_total} labelled pixels)")
+        self.loader.set_epoch(epoch)
+        score = RunningScore(args.n_classes)
+        self.running_loss.reset()
+        t0 = time.time()
+        n_imgs = 0
+        last_batch = None
+        loss = jnp.zeros(())
+        for batch in self.loader:
+            batch = shard_batch(batch, self.mesh)
+            state, loss, hist = step_fn(state, batch, rng)
+            score.merge(hist)
+            n_imgs += batch["x"].shape[0]
+            last_batch = batch
+            if self.debug:
+                break
+        # one host sync per epoch (the reference syncs per iteration)
+        self.running_loss.update(float(loss))
+        scores = score.get_scores()[0]
+        miou, pixel_acc = scores["Mean IoU"], scores["Pixel Acc"]
+        dt = time.time() - t0
+        print(f"({self.experim_name}) Epoch {epoch} | mIoU: {miou:.3f} | "
+              f"pixel acc: {pixel_acc:.3f} | loss: {self.running_loss.avg:.3f} "
+              f"| {n_imgs / max(dt, 1e-9):.1f} imgs/s")
+        write_log(self.log_train,
+                  list_entities=[epoch, miou, pixel_acc, self.running_loss.avg])
+        if last_batch is not None and not args.debug:
+            self._visualise(state, last_batch, f"{dir_stage}/{epoch}_train.png")
+        return state
+
+    def _val(self, epoch: int, state: TrainState, eval_fn, dir_stage: str):
+        args = self.args
+        score = RunningScore(args.n_classes)
+        last = None
+        for batch in self.loader_val:
+            if args.dataset_name == "voc":
+                batch, valid_hw = _pad_to_stride(batch, args.stride_total)
+                hist, pred = eval_fn(state.params, state.batch_stats, batch,
+                                     valid_hw=valid_hw)
+            else:
+                hist, pred = eval_fn(state.params, state.batch_stats, batch)
+            score.merge(hist)
+            last = (batch, pred)
+            if self.debug:
+                break
+        scores = score.get_scores()[0]
+        miou, pixel_acc = scores["Mean IoU"], scores["Pixel Acc"]
+
+        if miou > self.best_miou:
+            save_checkpoint(f"{dir_stage}/best_miou_model.ckpt",
+                            state.params, state.batch_stats)
+            print(f"best model saved (epoch {epoch} | prev miou "
+                  f"{self.best_miou:.4f} => {miou:.4f})")
+            self.best_miou = miou
+        write_log(self.log_val, list_entities=[epoch, miou, pixel_acc])
+        print(f"\n{'=' * 80}\nExperim name: {self.experim_name}\n"
+              f"Epoch {epoch} | miou: {miou:.3f} | pixel_acc: {pixel_acc:.3f}\n"
+              f"{'=' * 80}\n")
+        if last is not None and not args.debug:
+            batch, pred = last
+            self._visualise(state, batch, f"{dir_stage}/{epoch}_val.png")
+
+    def _visualise(self, state: TrainState, batch, fp: str) -> None:
+        """6-panel PNG from image 0 of a batch (model.py:150-158)."""
+        try:
+            x = batch["x"][:1]
+            out = self._forward(state.params, state.batch_stats, x)
+            prob = jax.nn.softmax(out["pred"].astype(jnp.float32), -1)
+            pred = np.asarray(prob.argmax(-1))[0]
+            ent = np.asarray(uncertainty_map(prob, "entropy"))[0]
+            lc = np.asarray(uncertainty_map(prob, "least_confidence"))[0]
+            ms = np.asarray(uncertainty_map(prob, "margin_sampling"))[0]
+            y = batch.get("y")
+            target = np.asarray(y)[0] if y is not None else None
+            self.vis({"input": np.asarray(x)[0], "target": target,
+                      "pred": pred, "confidence": lc, "margin": -ms,
+                      "entropy": ent}, fp=fp)
+        except Exception as e:  # visualisation must never kill a round
+            print(f"visualisation failed: {e}")
+
+
+def _pad_to_stride(batch, stride: int):
+    """Reflect-pad x to a stride multiple (VOC eval, model.py:185-191)."""
+    x = batch["x"]
+    h, w = x.shape[1:3]
+    ph = (stride - h % stride) % stride
+    pw = (stride - w % stride) % stride
+    if ph or pw:
+        x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    return {**batch, "x": x}, (h, w)

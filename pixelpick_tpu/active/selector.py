@@ -1,0 +1,89 @@
+"""QuerySelector — host orchestration of one acquisition round.
+
+Public surface mirrors the reference (``query.py:12-221``):
+``QuerySelector(args, loader)(nth_query, params/batch_stats, human_labels)``
+returns the encoded query dict and, in oracle mode, labels the query
+dataset's masks and dumps per-round stats.
+
+The device work (forward, scoring, exclusion, top-k, stats) runs in the
+batched jitted kernel from ``active/acquisition.py`` over pool batches,
+instead of the reference's sequential batch-1 sweep (``query.py:158-212``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+from pixelpick_tpu.active import codec
+from pixelpick_tpu.active.acquisition import make_score_fn
+from pixelpick_tpu.active.stats import QueryStats
+
+
+class QuerySelector:
+    def __init__(self, args, loader, model):
+        self.args = args
+        self.loader = loader  # mode='query' Loader over the pool
+        self.model = model
+        self.n_pixels_by_us = args.n_pixels_by_us
+        self.ignore_index = args.ignore_index
+        self.dir_checkpoints = args.dir_checkpoints
+        self.seed = args.seed
+        self._score_fn = make_score_fn(
+            model,
+            strategy=args.query_strategy,
+            n_classes=args.n_classes,
+            mean=args.mean, std=args.std,
+            n_pixels=args.n_pixels_by_us,
+            top_n_percent=args.top_n_percent,
+            reverse_order=args.reverse_order,
+            ignore_index=args.ignore_index,
+            mc_n_steps=args.mc_n_steps if args.use_mc_dropout else 0,
+        )
+
+    def __call__(self, nth_query: int, params, batch_stats,
+                 human_labels: bool = False) -> Dict[str, dict]:
+        print(f"Choosing pixels by {self.args.query_strategy}")
+        stats = QueryStats(self.args)
+        dict_queries: Dict[str, dict] = {}
+        rng = jax.random.PRNGKey((self.seed * 1_000_003 + nth_query) & 0x7FFFFFFF)
+
+        n_pixels_total = 0
+        sample_idx = 0
+        ds = self.loader.dataset
+        for batch in self.loader:
+            rng, sub = jax.random.split(rng)
+            idx, batch_stats_out = None, None
+            indices, dev_stats = self._score_fn(params, batch_stats, batch, sub)
+            indices = np.asarray(indices)  # (B, n_pixels) flat
+            bsz = indices.shape[0]
+            big_w = batch["x"].shape[2]
+            for b in range(bsz):
+                i = sample_idx + b
+                h, w = batch["x"].shape[1:3]
+                q = np.zeros(h * w, bool)
+                q[indices[b]] = True
+                q = q.reshape(h, w)
+                n_pixels_total += int(q.sum())
+                dict_queries.update(codec.encode_query(
+                    ds.list_inputs[i], (h, w), q))
+            if not human_labels:
+                stats.update_batch(dev_stats)
+            sample_idx += bsz
+
+        assert len(dict_queries) > 0, "no queries are chosen!"
+        if not human_labels:
+            stats.save(nth_query)
+            print(f"{n_pixels_total} labelled pixels are chosen by "
+                  f"{self.args.query_strategy} strategy")
+            # keep the pool dataset's masks in sync (query.py:220). Deviation
+            # from the reference: we pass nth_query=None so the picks are NOT
+            # dumped to {nth}_query/queries.pkl here — the reference's dump
+            # overwrites the round's existing queries.pkl (for round 0: the
+            # initial-query cache, camvid.py:55), losing those pixels from
+            # disk and breaking artifact-based resume. The driver still dumps
+            # the picks at {nth+1}_query/queries.pkl (model.py:84).
+            ds.label_queries(dict_queries, None)
+        return dict_queries

@@ -1,0 +1,98 @@
+"""Cityscapes with one-time downsample + 33->19 label remap cache
+(reference ``datasets/cityscapes.py``).
+
+The reference remaps labels with an O(H*W) interpreted Python loop
+(``cityscapes.py:176-180``); here it is a vectorised 256-entry LUT.
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+from typing import List
+
+import numpy as np
+from PIL import Image
+
+from pixelpick_tpu.data.base import SegDatasetBase
+
+IGNORE = 19
+# cityscapes labelIds -> 19 train ids (cityscapes.py:137-175)
+_CLASS_MAP = {
+    7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7, 21: 8, 22: 9,
+    23: 10, 24: 11, 25: 12, 26: 13, 27: 14, 28: 15, 31: 16, 32: 17, 33: 18,
+}
+
+
+def classes_to_labels_lut() -> np.ndarray:
+    lut = np.full(256, IGNORE, dtype=np.uint8)
+    for k, v in _CLASS_MAP.items():
+        lut[k] = v
+    return lut
+
+
+def make_downsampled_cityscapes(dir_cityscapes: str, downsample: int = 4,
+                                val: bool = False) -> None:
+    """One-time cache: bilinear-downsample images, nearest labels + remap
+    (cityscapes.py:106-134). Output dir: ``{dir}_d{downsample}``."""
+    h, w = 1024 // downsample, 2048 // downsample
+    mode = "val" if val else "train"
+    lut = classes_to_labels_lut()
+    xs = sorted(glob(f"{dir_cityscapes}/leftImg8bit/{mode}/**/*.png"))
+    ys = sorted(glob(f"{dir_cityscapes}/gtFine/{mode}/**/*_labelIds.png"))
+    for px, py in zip(xs, ys):
+        dst_x = os.path.dirname(px).replace(
+            os.path.basename(dir_cityscapes.rstrip("/")),
+            f"{os.path.basename(dir_cityscapes.rstrip('/'))}_d{downsample}")
+        dst_y = os.path.dirname(py).replace(
+            os.path.basename(dir_cityscapes.rstrip("/")),
+            f"{os.path.basename(dir_cityscapes.rstrip('/'))}_d{downsample}")
+        os.makedirs(dst_x, exist_ok=True)
+        os.makedirs(dst_y, exist_ok=True)
+        x = Image.open(px).resize((w, h), Image.BILINEAR)
+        y = np.asarray(Image.open(py).resize((w, h), Image.NEAREST))
+        y = lut[y]
+        x.save(os.path.join(dst_x, os.path.basename(px)))
+        Image.fromarray(y).save(os.path.join(dst_y, os.path.basename(py)))
+
+
+class CityscapesDataset(SegDatasetBase):
+    dataset_name = "cityscapes"
+
+    def __init__(self, args, val=False, query=False,
+                 generate_init_queries: bool = True):
+        super().__init__(args, val=val, query=query)
+        ds = args.downsample
+        # the reference always evaluates at half resolution (cityscapes.py:25-28)
+        dir_dataset = f"{args.dir_dataset}_d{ds}" if (ds > 1 and not val) \
+            else f"{args.dir_dataset}_d2"
+        if not os.path.isdir(dir_dataset):
+            print("Downsampling Cityscapes images...")
+            make_downsampled_cityscapes(args.dir_dataset, downsample=ds, val=False)
+            make_downsampled_cityscapes(args.dir_dataset, downsample=ds, val=True)
+        mode = "val" if val else "train"
+        self.list_inputs = sorted(glob(f"{dir_dataset}/leftImg8bit/{mode}/**/*.png"))
+        self.list_labels = sorted(glob(f"{dir_dataset}/gtFine/{mode}/**/*_labelIds.png"))
+        assert len(self.list_inputs) == len(self.list_labels) and self.list_inputs
+
+        self.crop_size = {2: (512, 1024), 4: (256, 512)}[ds]
+        # quarter-res train set fits in RAM; half-res val is larger
+        self.cache_images = ds >= 4 or val
+
+        if args.n_pixels_by_us != 0 and not val and generate_init_queries:
+            # reference caches the initial picks as one stacked bool array
+            # (cityscapes.py:66-96); we reuse the same pkl codec for
+            # uniformity and also honour an existing .npy cache
+            npy = f"{dir_dataset}/init_labelled_pixels_d{ds}_{self.seed}.npy"
+            if os.path.isfile(npy):
+                stacked = np.load(npy)
+                self.queries = [stacked[i] for i in range(stacked.shape[0])]
+                self.n_pixels_total = int(stacked.sum())
+            else:
+                self.generate_init_queries(
+                    args.n_pixels_by_us,
+                    f"{self.dir_checkpoints}/0_query/queries.pkl")
+                np.save(npy, np.stack(self.queries))
+            os.makedirs(f"{self.dir_checkpoints}/0_query", exist_ok=True)
+            np.save(f"{self.dir_checkpoints}/0_query/label.npy",
+                    np.stack(self.queries))

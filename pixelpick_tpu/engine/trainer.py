@@ -1,0 +1,188 @@
+"""Jitted train/eval step functions.
+
+The reference's inner loop (``model.py:93-159``, ``train.py:14-103``)
+densifies sparse labels to full resolution, upsamples B×C×H×W logits
+(``deeplab.py:55``) and takes ``F.cross_entropy(..., ignore_index)`` — then
+syncs metrics to host every iteration (``model.py:125``).
+
+TPU-native redesign:
+
+- **Sparse-label loss.** The head logits stay at 1/4 resolution; we gather
+  their align-corners bilinear interpolation at the <= K labelled pixel
+  coordinates (``ops/resize.py:gather_bilinear_align_corners``) and average
+  the cross-entropy over the valid ones. By linearity of interpolation this
+  is *exactly* the reference's upsample-then-masked-CE (verified in
+  ``tests/test_model_parity.py``), while the backward pass never touches a
+  full-resolution tensor.
+- **Device metrics.** The train-time running mIoU only ever sees the
+  labelled pixels (everything else is ``ignore_index`` under ``_fast_hist``'s
+  mask), so it is computed from the same gathered logits — one (n, n)
+  confusion matrix per step, accumulated on device.
+- **One fused step.** forward + loss + backward + optax update (+ BN stats)
+  compile into a single XLA program with donated state; uint8 images are
+  normalised on device (4x less host->device traffic).
+- Fully-supervised mode (``n_pixels_by_us == 0``) keeps the dense loss path.
+
+All functions here are mesh-agnostic: under a sharded batch the same code is
+data-parallel (XLA inserts gradient/BN collectives) — see ``parallel/mesh.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from pixelpick_tpu.ops.resize import gather_bilinear_align_corners
+from pixelpick_tpu.utils.metrics import confusion_matrix
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(params, batch_stats, tx) -> TrainState:
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def normalize_images(x_uint8: jnp.ndarray, mean, std) -> jnp.ndarray:
+    """uint8 NHWC -> normalised f32 (torchvision to_tensor + Normalize)."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (x_uint8.astype(jnp.float32) / 255.0 - mean) / std
+
+
+def sparse_ce_and_hist(logits_lr, coords, labels, valid, full_hw, n_classes):
+    """Cross-entropy + confusion matrix at sparse labelled coordinates.
+
+    logits_lr: (B, h, w, C) low-res head logits.
+    coords:    (B, K, 2) int32 full-res (y, x); padded entries arbitrary.
+    labels:    (B, K) int32; valid: (B, K) bool (False on padding and on
+               void-labelled pixels, reproducing CE ``ignore_index``).
+    """
+    logits = gather_bilinear_align_corners(logits_lr, coords, full_hw)  # B,K,C
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    safe_labels = jnp.clip(labels, 0, n_classes - 1).astype(jnp.int32)
+    ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    n_valid = jnp.maximum(valid.sum(), 1)
+    loss = -(ll * valid).sum() / n_valid
+    pred = logits.argmax(-1)
+    hist = confusion_matrix(jnp.where(valid, labels, -1), pred, n_classes)
+    return loss, hist
+
+
+def make_train_step(model, tx, *, n_classes: int, mean, std,
+                    donate: bool = True) -> Callable:
+    """Sparse-label train step. batch keys: x (uint8 B,H,W,3), coords
+    (B,K,2), labels (B,K), valid (B,K)."""
+
+    def loss_fn(params, batch_stats, batch, drop_rng):
+        x = normalize_images(batch["x"], mean, std)
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x,
+            train=True, upsample=False,
+            rngs={"dropout": drop_rng}, mutable=["batch_stats"],
+        )
+        full_hw = batch["x"].shape[1:3]
+        loss, hist = sparse_ce_and_hist(
+            out["pred"], batch["coords"], batch["labels"], batch["valid"],
+            full_hw, n_classes)
+        return loss, (mutated["batch_stats"], hist)
+
+    def train_step(state: TrainState, batch, rng):
+        drop_rng = jax.random.fold_in(rng, state.step)
+        (loss, (new_stats, hist)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, drop_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, batch_stats=new_stats,
+                               opt_state=opt_state, step=state.step + 1)
+        return new_state, loss, hist
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_dense_train_step(model, tx, *, n_classes: int, ignore_index: int,
+                          mean, std, donate: bool = True) -> Callable:
+    """Dense (fully-supervised) train step: batch keys x (uint8), y (int32
+    B,H,W). Reproduces reference ``model.py:108-126`` with the loss at full
+    resolution."""
+
+    def loss_fn(params, batch_stats, batch, drop_rng):
+        x = normalize_images(batch["x"], mean, std)
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x,
+            train=True, upsample=True,
+            rngs={"dropout": drop_rng}, mutable=["batch_stats"],
+        )
+        logits = out["pred"].astype(jnp.float32)
+        y = batch["y"].astype(jnp.int32)
+        valid = (y != ignore_index) & (y >= 0) & (y < n_classes)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        safe_y = jnp.clip(y, 0, n_classes - 1)
+        ll = jnp.take_along_axis(logp, safe_y[..., None], axis=-1)[..., 0]
+        loss = -(ll * valid).sum() / jnp.maximum(valid.sum(), 1)
+        hist = confusion_matrix(jnp.where(valid, y, -1), logits.argmax(-1),
+                                n_classes)
+        return loss, (mutated["batch_stats"], hist)
+
+    def train_step(state: TrainState, batch, rng):
+        drop_rng = jax.random.fold_in(rng, state.step)
+        (loss, (new_stats, hist)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, drop_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, batch_stats=new_stats,
+                               opt_state=opt_state, step=state.step + 1)
+        return new_state, loss, hist
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, *, n_classes: int, mean, std,
+                   pad_to_stride: Optional[int] = None) -> Callable:
+    """Validation step: full-res argmax + device confusion matrix.
+
+    ``pad_to_stride``: VOC-style reflect-pad to a stride multiple before the
+    forward pass, predictions cropped back (reference ``model.py:185-191``)
+    — handled by the caller via static padded shapes; here ``valid_hw``
+    crops the confusion-matrix contribution.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("valid_hw",))
+    def eval_step(params, batch_stats, batch, valid_hw=None):
+        x = normalize_images(batch["x"], mean, std)
+        out = model.apply({"params": params, "batch_stats": batch_stats}, x,
+                          train=False, upsample=True)
+        logits = out["pred"]
+        if valid_hw is not None:
+            logits = logits[:, :valid_hw[0], :valid_hw[1]]
+        pred = logits.argmax(-1)
+        hist = confusion_matrix(batch["y"], pred, n_classes)
+        return hist, pred
+
+    return eval_step
+
+
+def make_forward_fn(model, *, mean, std) -> Callable:
+    """Plain jitted inference: normalised forward returning full-res logits."""
+
+    @jax.jit
+    def forward(params, batch_stats, x_uint8):
+        x = normalize_images(x_uint8, mean, std)
+        return model.apply({"params": params, "batch_stats": batch_stats}, x,
+                           train=False, upsample=True)
+
+    return forward

@@ -1,0 +1,42 @@
+"""Model factory (reference ``utils/utils.py:15-51 get_model``)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _dtype(args):
+    return jnp.bfloat16 if getattr(args, "precision", "f32") == "bf16" else jnp.float32
+
+
+def get_model(args):
+    if args.network_name == "deeplab":
+        from pixelpick_tpu.models.deeplab import DeepLab
+        return DeepLab(
+            n_classes=args.n_classes,
+            output_stride=16,
+            width_mult=args.width_multiplier,
+            mc_dropout=args.use_mc_dropout,
+            mc_dropout_p=args.mc_dropout_p,
+            dtype=_dtype(args),
+        )
+    if args.network_name == "FPN":
+        from pixelpick_tpu.models.fpn import FPNSeg
+        return FPNSeg(
+            n_classes=args.n_classes,
+            n_layers=args.n_layers,
+            width_multiplier=args.width_multiplier,
+            dilate_scale=8 if args.use_dilated_resnet else 0,
+            mc_dropout_p=args.mc_dropout_p,
+            dtype=_dtype(args),
+        )
+    raise ValueError(args.network_name)
+
+
+def init_model(model, rng, input_hw, batch_size: int = 1):
+    """Initialise variables with a dummy batch; returns (params, batch_stats)."""
+    x = jnp.zeros((batch_size, input_hw[0], input_hw[1], 3), jnp.float32)
+    p_rng, d_rng = jax.random.split(jax.random.PRNGKey(rng) if isinstance(rng, int) else rng)
+    variables = model.init({"params": p_rng, "dropout": d_rng}, x, train=False)
+    return variables["params"], variables.get("batch_stats", {})

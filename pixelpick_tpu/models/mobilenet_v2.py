@@ -1,0 +1,128 @@
+"""MobileNetV2 backbone for DeepLabv3+, Flax/NHWC.
+
+Architecture parity with the reference (``networks/mobilenet_v2.py``):
+
+- inverted-residual settings table (``:82-91``) with the output-stride
+  dilation schedule of the reference's loop (``:98-113``): at os=16 the
+  (6,96,3,1) and (6,160,3,2) groups run stride-1/dilation-1 (rate only
+  doubles *after* the 160 group) and the final (6,320,1,1) group uses
+  dilation 2 — an idiosyncrasy of the reference we reproduce exactly;
+- TF-style ``fixed_padding`` applied to the *block input*, i.e. before the
+  1x1 expand conv (``:60-61``). Because BN shifts the zero border, padding
+  placement is numerically observable; we keep it for pretrained-weight
+  fidelity;
+- splits features after the 4th entry: low-level (stride 4, 24ch) /
+  high-level (stride 16, 320ch) (``:125-126``);
+- optional MC-dropout: a train-time Dropout2d appended to the feature stack
+  (``:115-116``) and a query-time Dropout2d on the low-level features
+  (``:127, 134-135``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pixelpick_tpu.models.layers import (
+    TorchBatchNorm, conv, relu6, fixed_pad, Dropout2d,
+)
+
+# (expand_ratio t, channels c, repeats n, stride s) — mobilenet_v2.py:82-91
+INVERTED_RESIDUAL_SETTINGS = (
+    (1, 16, 1, 1),
+    (6, 24, 2, 2),
+    (6, 32, 3, 2),
+    (6, 64, 4, 2),
+    (6, 96, 3, 1),
+    (6, 160, 3, 2),
+    (6, 320, 1, 1),
+)
+
+
+def block_plan(output_stride: int, width_mult: float = 1.0):
+    """Expand the settings table into per-block (in, out, stride, dilation,
+    expand_ratio), reproducing the reference's stride->dilation loop."""
+    plan = []
+    input_channel = int(32 * width_mult)
+    current_stride = 2  # after the stem conv
+    rate = 1
+    for t, c, n, s in INVERTED_RESIDUAL_SETTINGS:
+        if current_stride == output_stride:
+            stride, dilation = 1, rate
+            rate *= s
+        else:
+            stride, dilation = s, 1
+            current_stride *= s
+        out_channel = int(c * width_mult)
+        for i in range(n):
+            plan.append((input_channel, out_channel,
+                         stride if i == 0 else 1, dilation, t))
+            input_channel = out_channel
+    return plan, input_channel
+
+
+class InvertedResidual(nn.Module):
+    """One inverted-residual block (mobilenet_v2.py:24-66)."""
+
+    inp: int
+    oup: int
+    stride: int
+    dilation: int
+    expand_ratio: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        hidden = int(round(self.inp * self.expand_ratio))
+        use_res = self.stride == 1 and self.inp == self.oup
+        h = fixed_pad(x, 3, self.dilation)  # pad the whole block input (:61)
+        if self.expand_ratio != 1:
+            h = conv(hidden, (1, 1), dtype=self.dtype, name="expand")(h)
+            h = TorchBatchNorm(self.dtype, name="expand_bn")(h, train)
+            h = relu6(h)
+        h = conv(hidden, (3, 3), self.stride, dilation=self.dilation,
+                 groups=hidden, dtype=self.dtype, name="dw")(h)
+        h = TorchBatchNorm(self.dtype, name="dw_bn")(h, train)
+        h = relu6(h)
+        h = conv(self.oup, (1, 1), dtype=self.dtype, name="project")(h)
+        h = TorchBatchNorm(self.dtype, name="project_bn")(h, train)
+        return x + h if use_res else h
+
+
+class MobileNetV2(nn.Module):
+    output_stride: int = 16
+    width_mult: float = 1.0
+    mc_dropout: bool = False
+    mc_dropout_p: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool, mc_dropout_on: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (high_level 1/16 320ch, low_level 1/4 24ch)."""
+        plan, _ = block_plan(self.output_stride, self.width_mult)
+
+        # stem: conv 3x3 stride 2, torch padding=1 (mobilenet_v2.py:7-12)
+        h = conv(int(32 * self.width_mult), (3, 3), 2, padding=1,
+                 dtype=self.dtype, name="stem")(x)
+        h = TorchBatchNorm(self.dtype, name="stem_bn")(h, train)
+        h = relu6(h)
+
+        low = None
+        for i, (inp, oup, stride, dilation, t) in enumerate(plan):
+            h = InvertedResidual(inp, oup, stride, dilation, t,
+                                 dtype=self.dtype, name=f"block_{i}")(h, train)
+            if i == 2:  # features[0:4] = stem + blocks 0..2 (:125)
+                low = h
+
+        if self.mc_dropout:
+            # train-time feature dropout appended to the stack (:115-116);
+            # active whenever dropout is active (train or turned-on MC)
+            h = Dropout2d(self.mc_dropout_p, name="feat_dropout")(
+                h, active=train or mc_dropout_on)
+            # query-time dropout on low-level features (:127,134-135)
+            low = Dropout2d(self.mc_dropout_p, name="low_dropout")(
+                low, active=train or mc_dropout_on)
+        return h, low

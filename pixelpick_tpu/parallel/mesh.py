@@ -1,0 +1,57 @@
+"""Device mesh and sharding helpers.
+
+The reference is strictly single-device (SURVEY.md §2.2: no
+``torch.distributed``, no NCCL/Gloo; ``cuda:0`` hardcoded at
+``model.py:21``). The TPU-native design scales over a 1-D ``('data',)``
+``jax.sharding.Mesh``:
+
+- parameters and optimizer state are replicated (they fit trivially —
+  models are <= ResNet50 scale);
+- batches are sharded on the leading axis; under ``jit``, XLA inserts the
+  gradient ``psum`` and computes global-batch BN statistics automatically —
+  the collectives ride ICI;
+- the unlabelled-pool sweep shards images the same way (embarrassingly
+  parallel); only (image, y, x) coordinate triples are gathered to host.
+
+``dryrun_multichip`` in ``__graft_entry__.py`` exercises this on an 8-device
+virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(args=None, n_devices: Optional[int] = None) -> Optional[Mesh]:
+    devices = jax.devices()
+    n = n_devices or (getattr(args, "data_parallel", 0) or len(devices))
+    n = min(n, len(devices))
+    if n <= 1:
+        return None
+    return Mesh(np.array(devices[:n]), ("data",))
+
+
+def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
+    """Shard every array on its leading (batch) axis; replicate if the batch
+    doesn't divide the mesh (remainder batches)."""
+    if mesh is None:
+        return batch
+    n = mesh.devices.size
+
+    def put(x):
+        spec = P("data") if x.shape[0] % n == 0 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return {k: put(np.asarray(v)) for k, v in batch.items()}
+
+
+def shard_pytree(tree, mesh: Optional[Mesh]):
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    if mesh is None:
+        return tree
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

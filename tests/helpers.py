@@ -1,0 +1,53 @@
+"""Shared test fixtures: a synthetic CamVid-shaped dataset on disk."""
+
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def make_synthetic_camvid(root, n_train=8, n_test=4, hw=(48, 64), n_classes=11,
+                          seed=0):
+    rng = np.random.default_rng(seed)
+    for mode, n in (("train", n_train), ("test", n_test)):
+        os.makedirs(f"{root}/{mode}", exist_ok=True)
+        os.makedirs(f"{root}/{mode}annot", exist_ok=True)
+        for i in range(n):
+            img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+            # piecewise-constant labels so training has learnable structure
+            lab = np.zeros(hw, np.uint8)
+            lab[:, hw[1] // 2:] = rng.integers(1, n_classes)
+            lab[hw[0] // 2:, : hw[1] // 2] = rng.integers(1, n_classes)
+            lab[0, 0] = n_classes  # a void pixel
+            Image.fromarray(img).save(f"{root}/{mode}/{i:03d}.png")
+            Image.fromarray(lab).save(f"{root}/{mode}annot/{i:03d}.png")
+    return root
+
+
+def synthetic_args(tmp_path, **overrides):
+    from pixelpick_tpu.config import default_args
+
+    root = make_synthetic_camvid(str(tmp_path / "camvid"))
+    defaults = dict(
+        dataset_name="cv",
+        dir_dataset=root,
+        dir_checkpoints=str(tmp_path / "ckpt"),
+        n_pixels_by_us=5,
+        max_budget=10,
+        top_n_percent=0.05,
+        batch_size=4,
+        n_epochs=1,
+        n_workers=2,
+        pool_batch_size=4,
+        debug=False,
+    )
+    defaults.update(overrides)
+    args = default_args(write_files=False, **defaults)
+    os.makedirs(args.dir_checkpoints, exist_ok=True)
+    # the synthetic images are 48x64, not 360x480
+    return args
+
+
+def patch_crop_size(dataset, hw=(48, 64)):
+    dataset.crop_size = hw
+    return dataset

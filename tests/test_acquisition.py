@@ -1,0 +1,127 @@
+"""Acquisition engine semantics (reference query.py:33-69,144-247)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pixelpick_tpu.active.acquisition import (
+    uncertainty_map, fill_value, _select_topk, make_score_fn,
+)
+
+
+def test_uncertainty_strategies_match_reference_formulas():
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 4, 5, 6)).astype(np.float32)
+    prob = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    p = jnp.asarray(prob)
+
+    ent = np.asarray(uncertainty_map(p, "entropy"))
+    np.testing.assert_allclose(ent, -(prob * np.log(prob)).sum(-1), rtol=1e-5)
+
+    lc = np.asarray(uncertainty_map(p, "least_confidence"))
+    np.testing.assert_allclose(lc, 1 - prob.max(-1), rtol=1e-5)
+
+    ms = np.asarray(uncertainty_map(p, "margin_sampling"))
+    srt = np.sort(prob, -1)
+    np.testing.assert_allclose(ms, np.abs(srt[..., -1] - srt[..., -2]), rtol=1e-5)
+
+    rnd = np.asarray(uncertainty_map(p, "random", jax.random.PRNGKey(0)))
+    assert rnd.shape == (2, 4, 5) and (0 <= rnd).all() and (rnd <= 1).all()
+
+
+def test_fill_values():
+    assert fill_value("entropy") == 0.0
+    assert fill_value("least_confidence") == 0.0
+    assert fill_value("margin_sampling") == 1.0
+    assert fill_value("random") == 1.0
+
+
+def test_select_topk_picks_most_uncertain():
+    hw = (8, 10)
+    uc = np.ones(80, np.float32)  # margin: 1 = most certain
+    best = [3, 17, 42]
+    uc[best] = 0.01  # tiny margins = most uncertain
+    idx = np.asarray(_select_topk(
+        jnp.asarray(uc), jax.random.PRNGKey(0), strategy="margin_sampling",
+        n_pixels=3, top_n_percent=0.0, reverse_order=False, hw=hw))
+    assert sorted(idx.tolist()) == best
+
+    # entropy: largest wins
+    uc2 = np.zeros(80, np.float32)
+    uc2[best] = 5.0
+    idx2 = np.asarray(_select_topk(
+        jnp.asarray(uc2), jax.random.PRNGKey(0), strategy="entropy",
+        n_pixels=3, top_n_percent=0.0, reverse_order=False, hw=hw))
+    assert sorted(idx2.tolist()) == best
+
+
+def test_select_topk_top_n_percent_subsamples_from_topk():
+    hw = (10, 10)
+    uc = np.linspace(0, 1, 100).astype(np.float32)  # entropy-like
+    idx = np.asarray(_select_topk(
+        jnp.asarray(uc), jax.random.PRNGKey(1), strategy="entropy",
+        n_pixels=4, top_n_percent=0.2, reverse_order=False, hw=hw))
+    assert len(set(idx.tolist())) == 4
+    assert all(i >= 80 for i in idx), idx  # all from the top 20%
+
+
+def test_score_fn_end_to_end_excludes_labelled_and_void():
+    import flax.linen as nn
+    from pixelpick_tpu.ops.resize import resize_align_corners
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, mc_dropout_on=False, upsample=True):
+            pred = nn.Conv(4, (1, 1), name="cls")(x)
+            return {"pred": pred, "emb": x}
+
+    model = Tiny()
+    x = np.random.default_rng(0).integers(0, 255, (2, 8, 8, 3), dtype=np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)))
+
+    excluded = np.zeros((2, 8, 8), bool)
+    excluded[:, :, :4] = True  # left half already labelled
+    y = np.zeros((2, 8, 8), np.int32)
+    y[:, 0, :] = 11  # first row void (ignore_index=11)
+
+    score_fn = make_score_fn(model, strategy="margin_sampling", n_classes=4,
+                             mean=[0.5] * 3, std=[0.25] * 3, n_pixels=5,
+                             top_n_percent=0.0, reverse_order=False,
+                             ignore_index=11, mc_n_steps=0)
+    idx, stats = score_fn(variables["params"], {},
+                          {"x": x, "excluded": excluded, "y": y},
+                          jax.random.PRNGKey(0))
+    idx = np.asarray(idx)
+    assert idx.shape == (2, 5)
+    ys, xs = idx // 8, idx % 8
+    assert (xs >= 4).all(), "picked an excluded pixel"
+    assert (ys >= 1).all(), "picked a void pixel"
+    assert stats["entropy"].shape == (2, 5)
+    assert stats["coverage"].shape == (2,)
+
+
+def test_mc_dropout_committee_runs():
+    import flax.linen as nn
+
+    class TinyDrop(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, mc_dropout_on=False, upsample=True):
+            h = nn.Conv(8, (1, 1), name="c1")(x)
+            h = nn.Dropout(0.5, deterministic=not (train or mc_dropout_on))(h)
+            return {"pred": nn.Conv(4, (1, 1), name="cls")(h), "emb": h}
+
+    model = TinyDrop()
+    x = np.random.default_rng(0).integers(0, 255, (1, 6, 6, 3), dtype=np.uint8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 6, 6, 3)), train=True)
+    score_fn = make_score_fn(model, strategy="entropy", n_classes=4,
+                             mean=[0.5] * 3, std=[0.25] * 3, n_pixels=3,
+                             top_n_percent=0.0, reverse_order=False,
+                             ignore_index=11, mc_n_steps=4)
+    idx, stats = score_fn(variables["params"], {},
+                          {"x": x, "excluded": np.zeros((1, 6, 6), bool),
+                           "y": np.zeros((1, 6, 6), np.int32)},
+                          jax.random.PRNGKey(0))
+    assert np.asarray(idx).shape == (1, 3)

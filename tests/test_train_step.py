@@ -1,0 +1,108 @@
+"""Train-step correctness: the sparse gather-based CE equals the reference's
+dense masked cross-entropy (torch oracle), and a few steps of the full jitted
+train step reduce the loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from pixelpick_tpu.engine.trainer import (
+    sparse_ce_and_hist, create_train_state, make_train_step,
+)
+from pixelpick_tpu.ops.resize import resize_align_corners
+
+
+def test_sparse_ce_equals_dense_masked_ce():
+    """Gathered-CE == upsample + densify + F.cross_entropy(ignore_index)."""
+    rng = np.random.default_rng(0)
+    B, h, w, C = 2, 6, 8, 5
+    H, W = 24, 32
+    ignore = C  # reference style: ignore_index == n_classes
+    logits_lr = rng.standard_normal((B, h, w, C)).astype(np.float32)
+    k = 7
+    ys = rng.integers(0, H, (B, k))
+    xs = rng.integers(0, W, (B, k))
+    labels = rng.integers(0, C + 1, (B, k))  # some void
+    coords = np.stack([ys, xs], -1).astype(np.int32)
+    valid = labels != ignore
+
+    loss, hist = sparse_ce_and_hist(
+        jnp.asarray(logits_lr), jnp.asarray(coords), jnp.asarray(labels),
+        jnp.asarray(valid), (H, W), C)
+
+    # dense reference: upsample logits, scatter labels into an ignore-filled
+    # map, torch CE with ignore_index (mean reduction)
+    dense = np.asarray(resize_align_corners(jnp.asarray(logits_lr), (H, W)))
+    y_map = np.full((B, H, W), ignore, np.int64)
+    for b in range(B):
+        for j in range(k):
+            y_map[b, ys[b, j], xs[b, j]] = labels[b, j]
+    t_loss = F.cross_entropy(
+        torch.from_numpy(dense).permute(0, 3, 1, 2),
+        torch.from_numpy(y_map), ignore_index=ignore)
+    assert np.isclose(float(loss), float(t_loss), rtol=1e-5, atol=1e-6), \
+        (float(loss), float(t_loss))
+
+    # duplicate coords in the scatter could collide; ensure none for the hist check
+    n_hist = np.asarray(hist).sum()
+    assert n_hist == valid.sum()
+
+
+def test_train_step_reduces_loss_tiny_model():
+    import flax.linen as nn
+    from pixelpick_tpu.engine.optim import make_optimizer
+    from pixelpick_tpu.config import default_args
+
+    class Tiny(nn.Module):
+        n_classes: int = 4
+
+        @nn.compact
+        def __call__(self, x, train=False, mc_dropout_on=False, upsample=True):
+            h = nn.Conv(8, (3, 3), padding=1, name="backbone_conv")(x)
+            h = nn.relu(h)
+            h = nn.avg_pool(h, (4, 4), (4, 4))
+            pred = nn.Conv(self.n_classes, (1, 1), name="cls")(h)
+            if upsample:
+                pred = resize_align_corners(pred, x.shape[1:3])
+            return {"pred": pred, "emb": h}
+
+    args = default_args("cv")
+    model = Tiny()
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 16, 16, 3))
+    variables = model.init(rng, x)
+    tx = make_optimizer(args, variables["params"], iters_per_epoch=10)
+    state = create_train_state(variables["params"], {}, tx)
+
+    class ModelAdapter:
+        def apply(self, vs, x, train=False, upsample=True, rngs=None,
+                  mutable=None, mc_dropout_on=False):
+            out = model.apply({"params": vs["params"]}, x, train=train,
+                              upsample=upsample)
+            if mutable:
+                return out, {"batch_stats": {}}
+            return out
+
+    step = make_train_step(ModelAdapter(), tx, n_classes=4,
+                           mean=[0.5] * 3, std=[0.25] * 3, donate=False)
+
+    rng2 = np.random.default_rng(1)
+    coords = rng2.integers(0, 16, (2, 6, 2)).astype(np.int32)
+    # spatially consistent labels (left half = 0, right half = 1) so the
+    # coarse logits can actually fit them
+    labels = (coords[..., 1] >= 8).astype(np.int32)
+    batch = {
+        "x": rng2.integers(0, 255, (2, 16, 16, 3), dtype=np.uint8),
+        "coords": coords,
+        "labels": labels,
+        "valid": np.ones((2, 6), bool),
+    }
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for _ in range(100):
+        state, loss, hist = step(state, batch, key)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.2, losses[:3] + losses[-3:]
