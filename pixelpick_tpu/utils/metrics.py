@@ -122,3 +122,44 @@ class AverageMeter:
     @property
     def average(self):
         return np.round(self.avg, 5)
+
+
+def compute_spatial_coverage_per_image(indices) -> float:
+    """Mean half-sum of pairwise distances between picked pixels
+    (reference ``utils/metrics.py:7-16``)."""
+    y, x = np.asarray(indices[0], np.float64), np.asarray(indices[1], np.float64)
+    n = len(y)
+    if n < 2:
+        return float("nan")
+    dy = y[:, None] - y[None, :]
+    dx = x[:, None] - x[None, :]
+    dist = np.sqrt(dy * dy + dx * dx)
+    off = ~np.eye(n, dtype=bool)
+    return float(dist[off].sum() / 2)
+
+
+def compute_spatial_coverage(masks) -> float:
+    """nanmean over images (reference ``utils/metrics.py:19-23``)."""
+    return float(np.nanmean([
+        compute_spatial_coverage_per_image(np.where(m)) for m in masks
+    ]))
+
+
+def eval_metrics(prediction, target, num_classes, ignore_index):
+    """Per-batch (correct, labeled, inter, union) arrays (reference
+    ``utils/metrics.py:129-159``), NumPy-only."""
+    pred = np.asarray(prediction).astype(np.int64) + 1
+    tgt = np.asarray(target).astype(np.int64).copy()
+    tgt[tgt == ignore_index] = -1
+    tgt = tgt + 1
+    labeled = (tgt > 0).sum()
+    correct = ((pred == tgt) & (tgt > 0)).sum()
+    pred_m = pred * (tgt > 0)
+    inter_vals = pred_m * (pred_m == tgt)
+    bins = np.arange(1, num_classes + 2)
+    area_inter = np.histogram(inter_vals[inter_vals > 0], bins=bins)[0]
+    area_pred = np.histogram(pred_m[pred_m > 0], bins=bins)[0]
+    area_lab = np.histogram(tgt[tgt > 0], bins=bins)[0]
+    area_union = area_pred + area_lab - area_inter
+    return [np.round(correct, 5), np.round(labeled, 5),
+            np.round(area_inter, 5), np.round(area_union, 5)]

@@ -1,0 +1,125 @@
+"""Data-layer invariants: co-transforming augmentation, sparse extraction,
+loader batching semantics, Cityscapes LUT remap."""
+
+import numpy as np
+import random
+from PIL import Image
+
+from pixelpick_tpu.data.augment import geometric_augment
+from pixelpick_tpu.data.base import extract_sparse_labels, extract_sparse_from_map
+from pixelpick_tpu.data.cityscapes import classes_to_labels_lut, IGNORE
+
+
+def test_geometric_augment_cotransforms_queries_and_labels():
+    """A queried pixel must carry its label through scale/pad/crop/flip:
+    after augmentation, y at every query location equals the original label
+    value of the pixel that landed there (both resampled NEAREST with the
+    same geometry)."""
+    rng_img = np.random.default_rng(0)
+    h, w = 40, 60
+    y = rng_img.integers(0, 11, (h, w)).astype(np.int32)
+    q = np.zeros((h, w), bool)
+    q[rng_img.integers(0, h, 30), rng_img.integers(0, w, 30)] = True
+    x = Image.fromarray(rng_img.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    # unique per-pixel code so we can trace where each pixel went
+    code = np.arange(h * w, dtype=np.int32).reshape(h, w)
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        rng2 = random.Random(seed)
+        _, y_out, q_out, _ = geometric_augment(
+            x, Image.fromarray(y, mode="I"), q, None, rng,
+            crop_size=(32, 48), mean_fill=(0, 0, 0), ignore_index=11)
+        _, code_out, q_out2, _ = geometric_augment(
+            x, Image.fromarray(code, mode="I"), q, None, rng2,
+            crop_size=(32, 48), mean_fill=(0, 0, 0), ignore_index=-7)
+        np.testing.assert_array_equal(q_out, q_out2)
+        ys, xs = np.nonzero(q_out)
+        for yy, xx in zip(ys, xs):
+            c = code_out[yy, xx]
+            if c == -7:  # padding
+                assert y_out[yy, xx] == 11
+                continue
+            src = np.unravel_index(c, (h, w))
+            assert q[src], "query mask moved to a non-queried source pixel"
+            assert y_out[yy, xx] == y[src]
+
+
+def test_extract_sparse_labels_padding_and_void():
+    q = np.zeros((5, 6), bool)
+    q[0, 1] = q[2, 3] = q[4, 5] = True
+    y = np.zeros((5, 6), np.int32)
+    y[2, 3] = 11  # void
+    y[4, 5] = 7
+    coords, labels, valid = extract_sparse_labels(q, y, ignore_index=11, k_max=8)
+    assert coords.shape == (8, 2) and valid.sum() == 2
+    got = {(int(cy), int(cx)): (int(l), bool(v))
+           for (cy, cx), l, v in zip(coords[:3], labels[:3], valid[:3])}
+    assert got[(2, 3)] == (11, False)
+    assert got[(4, 5)] == (7, True)
+    assert not valid[3:].any()
+
+
+def test_extract_sparse_from_map():
+    m = np.full((4, 4), 255, np.int64)
+    m[1, 2] = 3
+    m[3, 0] = 0
+    coords, labels, valid = extract_sparse_from_map(m, 255, k_max=4)
+    assert valid.sum() == 2
+    assert sorted(labels[:2].tolist()) == [0, 3]
+
+
+def test_cityscapes_lut_matches_reference_table():
+    lut = classes_to_labels_lut()
+    assert lut[7] == 0 and lut[26] == 13 and lut[33] == 18
+    assert lut[0] == IGNORE and lut[6] == IGNORE and lut[29] == IGNORE
+    # everything not in the 19-class table maps to ignore
+    mapped = {7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28,
+              31, 32, 33}
+    for i in range(256):
+        if i not in mapped:
+            assert lut[i] == IGNORE
+
+
+def test_loader_drop_last_quirk(tmp_path):
+    """drop_last only when remainder == 1 (reference utils/utils.py:107)."""
+    from pixelpick_tpu.data.loader import Loader
+
+    class FakeDS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def val_sample(self, i):
+            return {"x": np.full((2, 2), i, np.int32)}
+
+    ld = Loader(FakeDS(9), batch_size=4, mode="val")
+    assert ld.drop_last and len(ld) == 2
+    sizes = [b["x"].shape[0] for b in ld]
+    assert sizes == [4, 4]
+
+    ld2 = Loader(FakeDS(10), batch_size=4, mode="val")
+    assert not ld2.drop_last and len(ld2) == 3
+    assert [b["x"].shape[0] for b in ld2] == [4, 4, 2]
+
+
+def test_loader_shuffle_is_deterministic_per_epoch():
+    from pixelpick_tpu.data.loader import Loader
+
+    class FakeDS:
+        def __len__(self):
+            return 8
+
+        def val_sample(self, i):
+            return {"x": np.array([i])}
+
+    ld = Loader(FakeDS(), batch_size=4, mode="val", shuffle=True, seed=1)
+    ld.set_epoch(1)
+    o1 = [int(v) for b in ld for v in b["x"].ravel()]
+    o1b = [int(v) for b in ld for v in b["x"].ravel()]
+    assert o1 == o1b
+    ld.set_epoch(2)
+    o2 = [int(v) for b in ld for v in b["x"].ravel()]
+    assert o1 != o2 and sorted(o2) == list(range(8))
