@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -44,6 +45,9 @@ def _timeit(fn, *args, warmup=2, iters=8):
 
 
 def main():
+    from pixelpick_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--fast", action="store_true",
                         help="skip the reference-faithful baseline")

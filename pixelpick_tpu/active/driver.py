@@ -35,6 +35,7 @@ from pixelpick_tpu.models import get_model, init_model
 from pixelpick_tpu.parallel.mesh import shard_batch, get_mesh
 from pixelpick_tpu.utils.logging import write_log
 from pixelpick_tpu.utils.metrics import AverageMeter, RunningScore, scores_from_confusion
+from pixelpick_tpu.utils.profiling import PhaseTimer
 from pixelpick_tpu.utils.visualiser import Visualiser
 
 
@@ -122,12 +123,16 @@ class ALModel:
                                  mean=args.mean, std=args.std)
 
         self.best_miou = -1.0
+        self.timer = PhaseTimer()
         rng = jax.random.PRNGKey(round_seed ^ 0x5EED)
         for epoch in range(1, 1 + args.n_epochs):
-            state = self._train_epoch(epoch, state, step_fn, rng, dir_stage)
-            self._val(epoch, state, eval_fn, dir_stage)
+            with self.timer.phase("train", len(self.dataset)):
+                state = self._train_epoch(epoch, state, step_fn, rng, dir_stage)
+            with self.timer.phase("val", len(self.dataset_val)):
+                self._val(epoch, state, eval_fn, dir_stage)
             if self.debug:
                 break
+        self.timer.dump(f"{dir_stage}/timing.json")
         return state.params, state.batch_stats
 
     # ----------------------------- epochs -----------------------------

@@ -155,7 +155,23 @@ DATASET_DEFAULTS = {
 }
 
 
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache. TPU compiles through a tunnel can
+    take minutes; caching makes repeated CLI/bench invocations fast."""
+    import jax
+
+    cache_dir = os.environ.get("PIXELPICK_JAX_CACHE",
+                               os.path.expanduser("~/.pixelpick_jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def finalize_args(args: Namespace, write_files: bool = True) -> Namespace:
+    enable_compile_cache()
     """Apply derived fields, dataset blocks, YAML overlay, naming and seeding.
 
     Mirrors reference ``args.py:59-205`` (parse_args body).

