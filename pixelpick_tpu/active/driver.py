@@ -70,6 +70,11 @@ class ALModel:
 
         self.model = get_model(args)
         self.mesh = get_mesh(args)
+        self.device_pipe = None
+        if getattr(args, "device_augment", False) and not fully_sup \
+                and not human_labels:
+            from pixelpick_tpu.data.device_pipeline import DevicePipeline
+            self.device_pipe = DevicePipeline(self.dataset, args)
         self.vis = Visualiser(args.dataset_name)
         self.query_selector = QuerySelector(args, self.loader_query, self.model)
         self._forward = make_forward_fn(self.model, mean=args.mean, std=args.std)
@@ -118,7 +123,10 @@ class ALModel:
         else:
             step_fn = make_train_step(
                 self.model, tx, n_classes=args.n_classes,
-                mean=args.mean, std=args.std)
+                mean=args.mean, std=args.std,
+                normalize=self.device_pipe is None)
+        if self.device_pipe is not None:
+            self.device_pipe.set_queries(self.dataset.queries)
         eval_fn = make_eval_step(self.model, n_classes=args.n_classes,
                                  mean=args.mean, std=args.std)
 
@@ -150,8 +158,9 @@ class ALModel:
         n_imgs = 0
         last_batch = None
         loss = jnp.zeros(())
-        for batch in self.loader:
-            batch = shard_batch(batch, self.mesh)
+        for batch in self._epoch_batches(epoch, rng):
+            batch = shard_batch(batch, self.mesh) \
+                if self.device_pipe is None else batch
             state, loss, hist = step_fn(state, batch, rng)
             score.merge(hist)
             n_imgs += batch["x"].shape[0]
@@ -171,6 +180,24 @@ class ALModel:
         if last_batch is not None and not args.debug:
             self._visualise(state, last_batch, f"{dir_stage}/{epoch}_train.png")
         return state
+
+    def _epoch_batches(self, epoch: int, rng):
+        """Host loader batches, or device-pipeline batches (index-only host
+        work) when --device_augment is on."""
+        if self.device_pipe is None:
+            yield from self.loader
+            return
+        args = self.args
+        n = len(self.dataset)
+        order = np.arange(n)
+        np.random.RandomState(args.seed * 100003 + epoch).shuffle(order)
+        bs = args.batch_size
+        batches = [order[i:i + bs] for i in range(0, n, bs)]
+        if batches and len(batches[-1]) != bs and (n % bs) == 1:
+            batches.pop()
+        for bi, idxs in enumerate(batches):
+            key = jax.random.fold_in(rng, epoch * 100003 + bi)
+            yield self.device_pipe.sample_batch(idxs, key)
 
     def _val(self, epoch: int, state: TrainState, eval_fn, dir_stage: str):
         args = self.args
@@ -208,6 +235,12 @@ class ALModel:
         """6-panel PNG from image 0 of a batch (model.py:150-158)."""
         try:
             x = batch["x"][:1]
+            if np.issubdtype(np.asarray(x).dtype, np.floating):
+                # device-pipeline batches are already normalised; undo for
+                # display and for the uint8 forward path
+                x = np.clip((np.asarray(x) * np.asarray(self.args.std)
+                             + np.asarray(self.args.mean)) * 255.0,
+                            0, 255).astype(np.uint8)
             out = self._forward(state.params, state.batch_stats, x)
             prob = jax.nn.softmax(out["pred"].astype(jnp.float32), -1)
             pred = np.asarray(prob.argmax(-1))[0]

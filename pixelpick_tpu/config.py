@@ -106,6 +106,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--pretrained_ckpt", type=str, default="",
                         help="path to a converted pretrained backbone "
                              "checkpoint (see models/convert.py)")
+    parser.add_argument("--device_augment", action="store_true", default=False,
+                        help="stage the dataset in HBM and run the full "
+                             "augmentation pipeline on device (uniform-shape "
+                             "datasets; see data/device_pipeline.py)")
     return parser
 
 

@@ -82,12 +82,14 @@ def sparse_ce_and_hist(logits_lr, coords, labels, valid, full_hw, n_classes):
 
 
 def make_train_step(model, tx, *, n_classes: int, mean, std,
-                    donate: bool = True) -> Callable:
-    """Sparse-label train step. batch keys: x (uint8 B,H,W,3), coords
-    (B,K,2), labels (B,K), valid (B,K)."""
+                    donate: bool = True, normalize: bool = True) -> Callable:
+    """Sparse-label train step. batch keys: x (uint8 B,H,W,3 — or already
+    normalised f32 when ``normalize=False``, e.g. from the device pipeline),
+    coords (B,K,2), labels (B,K), valid (B,K)."""
 
     def loss_fn(params, batch_stats, batch, drop_rng):
-        x = normalize_images(batch["x"], mean, std)
+        x = normalize_images(batch["x"], mean, std) if normalize \
+            else batch["x"]
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, x,
             train=True, upsample=False,

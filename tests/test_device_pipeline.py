@@ -1,0 +1,131 @@
+"""Device-resident augmentation pipeline invariants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pixelpick_tpu.data.device_pipeline import (
+    warp_sample, photometric_device, sparse_coords_device, _sample_geometry,
+)
+
+
+def _identity_geom(h, w):
+    return (jnp.float32(1.0), jnp.int32(h), jnp.int32(w),
+            jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+
+
+def test_warp_identity_is_exact():
+    rng = np.random.default_rng(0)
+    h, w = 24, 32
+    x = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    y = rng.integers(0, 11, (h, w)).astype(np.int32)
+    q = rng.random((h, w)) < 0.05
+    xa, ya, qa = warp_sample(jnp.asarray(x), jnp.asarray(y), jnp.asarray(q),
+                             (h, w), _identity_geom(h, w),
+                             mean_fill=(0, 0, 0), ignore_index=11)
+    np.testing.assert_allclose(np.asarray(xa), x.astype(np.float32), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ya), y)
+    np.testing.assert_array_equal(np.asarray(qa), q)
+
+
+def test_warp_flip():
+    h, w = 8, 10
+    y = np.arange(h * w).reshape(h, w).astype(np.int32)
+    geom = (jnp.float32(1.0), jnp.int32(h), jnp.int32(w),
+            jnp.int32(0), jnp.int32(0), jnp.bool_(True))
+    _, ya, _ = warp_sample(jnp.zeros((h, w, 3), jnp.uint8), jnp.asarray(y),
+                           jnp.zeros((h, w), bool), (h, w), geom,
+                           mean_fill=(0, 0, 0), ignore_index=99)
+    np.testing.assert_array_equal(np.asarray(ya), y[:, ::-1])
+
+
+def test_warp_pad_region_fills():
+    """Small source scaled below crop size: the pad region must be mean/ignore
+    filled and the query mask False there (base_dataset.py:73-88)."""
+    h, w = 8, 8
+    ch, cw = 16, 16
+    geom = (jnp.float32(1.0), jnp.int32(h), jnp.int32(w),
+            jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+    x = np.full((h, w, 3), 100, np.uint8)
+    y = np.zeros((h, w), np.int32)
+    q = np.ones((h, w), bool)
+    xa, ya, qa = warp_sample(jnp.asarray(x), jnp.asarray(y), jnp.asarray(q),
+                             (ch, cw), geom, mean_fill=(7, 8, 9),
+                             ignore_index=11)
+    assert np.asarray(ya)[10, 10] == 11
+    assert not np.asarray(qa)[10:, 10:].any()
+    np.testing.assert_allclose(np.asarray(xa)[12, 12], [7, 8, 9])
+    np.testing.assert_allclose(np.asarray(xa)[4, 4], [100, 100, 100])
+
+
+def test_warp_query_pixels_keep_their_labels():
+    """Co-transform invariant (same as the host pipeline test): after a random
+    warp, y at every surviving query location equals the source label of the
+    pixel that landed there."""
+    rng = np.random.default_rng(1)
+    h, w = 24, 32
+    ch, cw = 16, 20
+    y = rng.integers(0, 11, (h, w)).astype(np.int32)
+    code = np.arange(h * w, dtype=np.int32).reshape(h, w)
+    q = rng.random((h, w)) < 0.2
+    for seed in range(5):
+        geom = _sample_geometry(jax.random.PRNGKey(seed), (h, w), (ch, cw),
+                                {"random_scale": True, "crop": True,
+                                 "random_hflip": True})
+        _, ya, qa = warp_sample(jnp.zeros((h, w, 3), jnp.uint8),
+                                jnp.asarray(y), jnp.asarray(q), (ch, cw),
+                                geom, mean_fill=(0, 0, 0), ignore_index=99)
+        _, ca, qa2 = warp_sample(jnp.zeros((h, w, 3), jnp.uint8),
+                                 jnp.asarray(code), jnp.asarray(q), (ch, cw),
+                                 geom, mean_fill=(0, 0, 0), ignore_index=-7)
+        np.testing.assert_array_equal(np.asarray(qa), np.asarray(qa2))
+        ys, xs = np.nonzero(np.asarray(qa))
+        for yy, xx in zip(ys, xs):
+            c = int(np.asarray(ca)[yy, xx])
+            assert c != -7
+            src = np.unravel_index(c, (h, w))
+            assert q[src]
+            assert int(np.asarray(ya)[yy, xx]) == y[src]
+
+
+def test_photometric_stays_in_range_and_is_stochastic():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 255, (16, 16, 3)).astype(np.float32))
+    outs = [np.asarray(photometric_device(x, jax.random.PRNGKey(s),
+                                          blur_kernel=3))
+            for s in range(4)]
+    for o in outs:
+        assert o.min() >= 0 and o.max() <= 255
+    assert any(not np.allclose(outs[0], o) for o in outs[1:])
+
+
+def test_sparse_coords_device_matches_host():
+    from pixelpick_tpu.data.base import extract_sparse_labels
+
+    rng = np.random.default_rng(2)
+    q = rng.random((12, 16)) < 0.1
+    y = rng.integers(0, 12, (12, 16)).astype(np.int32)  # 11 == ignore
+    coords, labels, valid = sparse_coords_device(
+        jnp.asarray(q), jnp.asarray(y), ignore_index=11, k_max=32)
+    coords, labels, valid = map(np.asarray, (coords, labels, valid))
+    hc, hl, hv = extract_sparse_labels(q, y, 11, 32)
+    assert valid.sum() == hv.sum()
+    got = {(int(cy), int(cx)) for (cy, cx), v in zip(coords, valid) if v}
+    want = {(int(cy), int(cx)) for (cy, cx), v in zip(hc, hv) if v}
+    assert got == want
+
+
+def test_e2e_round_with_device_augment(tmp_path):
+    from tests.helpers import synthetic_args
+    from pixelpick_tpu.active.driver import ALModel
+
+    args = synthetic_args(tmp_path, n_pixels_by_us=4, max_budget=8,
+                          n_epochs=1, device_augment=True)
+    model = ALModel(args)
+    model.dataset.crop_size = (48, 64)
+    # pipeline captured crop size at construction; rebuild with the right one
+    from pixelpick_tpu.data.device_pipeline import DevicePipeline
+    model.device_pipe = DevicePipeline(model.dataset, args)
+    model()
+    assert model.dataset.n_pixels_total == 8 * 4 * 2

@@ -1,0 +1,67 @@
+"""End-to-end variants: MC-dropout committee, reverse_order, entropy
+strategy, fully-supervised mode, and checkpoint->eval round-trip."""
+
+import numpy as np
+import pytest
+
+from tests.helpers import synthetic_args
+
+
+def test_mc_dropout_entropy_round(tmp_path):
+    args = synthetic_args(tmp_path, n_pixels_by_us=4, max_budget=4,
+                          n_epochs=1, query_strategy="entropy",
+                          use_mc_dropout=True, mc_n_steps=3,
+                          top_n_percent=0.1, reverse_order=False)
+    from pixelpick_tpu.active.driver import ALModel
+
+    model = ALModel(args)
+    model.dataset.crop_size = (48, 64)
+    model()  # 1 stage (budget == per-round picks)
+    assert model.dataset.n_pixels_total == 8 * 4
+
+
+def test_reverse_order_round(tmp_path):
+    args = synthetic_args(tmp_path, n_pixels_by_us=4, max_budget=8,
+                          n_epochs=1, query_strategy="margin_sampling",
+                          top_n_percent=0.05, reverse_order=True)
+    from pixelpick_tpu.active.driver import ALModel
+
+    model = ALModel(args)
+    model.dataset.crop_size = (48, 64)
+    model()
+    assert model.dataset.n_pixels_total == 8 * 4 * 2
+
+
+def test_fully_supervised_mode(tmp_path):
+    args = synthetic_args(tmp_path, n_pixels_by_us=0, n_epochs=1)
+    from pixelpick_tpu.active.driver import ALModel
+
+    model = ALModel(args)
+    model.dataset.crop_size = (48, 64)
+    model()
+    import os
+    d = f"{args.dir_checkpoints}/fully_sup"
+    assert os.path.isfile(f"{d}/best_miou_model.ckpt")
+    assert os.path.isfile(f"{d}/log_train.txt")
+
+
+def test_checkpoint_eval_roundtrip(tmp_path):
+    args = synthetic_args(tmp_path, n_pixels_by_us=4, max_budget=4, n_epochs=1)
+    from pixelpick_tpu.active.driver import ALModel
+
+    model = ALModel(args)
+    model.dataset.crop_size = (48, 64)
+    model()
+
+    import jax
+    from eval import evaluate
+    from pixelpick_tpu.engine.checkpoint import load_checkpoint
+    from pixelpick_tpu.models import get_model, init_model
+
+    m = get_model(args)
+    params, stats = init_model(m, jax.random.PRNGKey(0), (48, 64))
+    params, stats = load_checkpoint(
+        f"{args.dir_checkpoints}/0_query/best_miou_model.ckpt", params, stats)
+    scores, cls_iu = evaluate(args, params, stats)
+    assert 0.0 <= scores["Mean IoU"] <= 1.0
+    assert len(cls_iu) == args.n_classes
