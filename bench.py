@@ -3,21 +3,27 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
 
-The measured quantity is round-level throughput on the flagship config
-(CamVid 360x480, MobileNetV2 DeepLabv3+, margin sampling): one AL round =
-``n_epochs x n_train`` training images + ``n_train`` pool-scored images
-(reference ``model.py:67-87``). ``value`` is that image count divided by the
-projected round time from steady-state step timings.
+One AL round = ``n_epochs x n_train`` training images + ``n_train``
+pool-scored images (reference ``model.py:67-87``; CamVid: 50 x 367 + 367).
+``value`` is that image count divided by the projected round time from
+steady-state step timings.
 
-``vs_baseline`` is the speedup over a *reference-faithful* execution on the
-SAME chip: dense full-resolution masked-CE training (the reference densifies
-labels and upsamples logits, ``model.py:108-116``) and a batch-size-1
-sequential pool sweep (``query.py:159``) — i.e. the reference's algorithmic
-design transplanted to this hardware. The optimized path uses the
-sparse-label train step and batched acquisition. The published reference
-repo has no throughput numbers to compare against (BASELINE.md).
+Two configurations are measured on the SAME chip:
 
-Synthetic data (shapes only matter); run with --fast to skip the baseline.
+- **tpu_native** (the headline): this framework's production path — bf16
+  compute, batch 16, device-resident batches (the --device_augment
+  pipeline keeps data in HBM), sparse-label loss, batched pool scoring.
+- **reference_design** (the baseline): the reference's algorithmic design
+  transplanted unchanged — f32, batch 4 (args.py:109), dense full-resolution
+  masked CE (model.py:108-116), batch-size-1 sequential pool sweep
+  (query.py:159).
+
+``vs_baseline`` = tpu_native / reference_design round throughput: the
+speedup a reference user gets by switching frameworks on this hardware.
+The reference repo publishes no throughput numbers of its own (BASELINE.md).
+
+Synthetic data (only shapes matter). ``--fast`` skips the baseline;
+``--parity`` also reports the parity config (f32, batch 4, sparse loss).
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, warmup=2, iters=8):
+def _timeit(fn, *args, warmup=3, iters=10):
     import jax
 
     for _ in range(warmup):
@@ -44,75 +50,108 @@ def _timeit(fn, *args, warmup=2, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
-    from pixelpick_tpu.config import enable_compile_cache
+N_TRAIN = 367   # CamVid train-set size
+N_EPOCHS = 50
+K = 128
 
-    enable_compile_cache()
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--fast", action="store_true",
-                        help="skip the reference-faithful baseline")
-    parser.add_argument("--precision", default="f32", choices=["f32", "bf16"])
-    parser.add_argument("--batch_size", type=int, default=4)
-    parser.add_argument("--pool_batch_size", type=int, default=8)
-    parser.add_argument("--hw", type=int, nargs=2, default=[360, 480])
-    args_cli = parser.parse_args()
 
+def _setup(precision, hw):
+    import jax
+
+    from pixelpick_tpu.config import default_args
+    from pixelpick_tpu.models import get_model, init_model
+
+    args = default_args("cv", write_files=False, precision=precision)
+    model = get_model(args)
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), hw)
+    return args, model, params, batch_stats
+
+
+def _train_batch(rng, B, hw, n_classes, device=True):
     import jax
     import jax.numpy as jnp
 
-    from pixelpick_tpu.config import default_args
+    b = {
+        "x": rng.integers(0, 255, (B, *hw, 3), dtype=np.uint8),
+        "coords": np.stack([rng.integers(0, hw[0], (B, K)),
+                            rng.integers(0, hw[1], (B, K))], -1).astype(np.int32),
+        "labels": rng.integers(0, n_classes, (B, K)).astype(np.int32),
+        "valid": np.ones((B, K), bool),
+    }
+    return {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()} if device else b
+
+
+def _pool_batch(rng, B, hw, n_classes, device=True):
+    import jax
+    import jax.numpy as jnp
+
+    b = {
+        "x": rng.integers(0, 255, (B, *hw, 3), dtype=np.uint8),
+        "y": rng.integers(0, n_classes, (B, *hw)).astype(np.int32),
+        "excluded": np.zeros((B, *hw), bool),
+    }
+    return {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()} if device else b
+
+
+def _measure_round(args, model, params, batch_stats, *, train_B, pool_B,
+                   hw, dense, device_batches):
+    import jax
+
     from pixelpick_tpu.engine.optim import make_optimizer
     from pixelpick_tpu.engine.trainer import (
         create_train_state, make_dense_train_step, make_train_step,
     )
     from pixelpick_tpu.active.acquisition import make_score_fn
-    from pixelpick_tpu.models import get_model, init_model
-
-    hw = tuple(args_cli.hw)
-    B = args_cli.batch_size
-    K = 128
-    N_TRAIN = 367          # CamVid train set size
-    N_EPOCHS = 50
-
-    args = default_args("cv", write_files=False, precision=args_cli.precision)
-    model = get_model(args)
-    params, batch_stats = init_model(model, jax.random.PRNGKey(0), hw)
-    tx = make_optimizer(args, params, iters_per_epoch=N_TRAIN // B)
-    state = create_train_state(params, batch_stats, tx)
 
     rng = np.random.default_rng(0)
-    train_batch = {
-        "x": rng.integers(0, 255, (B, *hw, 3), dtype=np.uint8),
-        "coords": np.stack([rng.integers(0, hw[0], (B, K)),
-                            rng.integers(0, hw[1], (B, K))], -1).astype(np.int32),
-        "labels": rng.integers(0, args.n_classes, (B, K)).astype(np.int32),
-        "valid": np.ones((B, K), bool),
-    }
     key = jax.random.PRNGKey(0)
+    tx = make_optimizer(args, params, iters_per_epoch=N_TRAIN // train_B)
+    state = create_train_state(params, batch_stats, tx)
 
-    # ---- optimized: sparse-label train step ----
-    sparse_step = make_train_step(model, tx, n_classes=args.n_classes,
-                                  mean=args.mean, std=args.std, donate=False)
-    t_sparse = _timeit(lambda s: sparse_step(s, train_batch, key)[0], state)
-    train_ips = B / t_sparse
+    if dense:
+        step = make_dense_train_step(model, tx, n_classes=args.n_classes,
+                                     ignore_index=args.ignore_index,
+                                     mean=args.mean, std=args.std, donate=False)
+        batch = _pool_batch(rng, train_B, hw, args.n_classes, device_batches)
+        batch = {"x": batch["x"], "y": batch["y"]}
+    else:
+        step = make_train_step(model, tx, n_classes=args.n_classes,
+                               mean=args.mean, std=args.std, donate=False)
+        batch = _train_batch(rng, train_B, hw, args.n_classes, device_batches)
+    t_train = _timeit(lambda s: step(s, batch, key)[0], state)
+    train_ips = train_B / t_train
 
-    # ---- optimized: batched pool scoring ----
-    PB = args_cli.pool_batch_size
     score_fn = make_score_fn(model, strategy="margin_sampling",
                              n_classes=args.n_classes, mean=args.mean,
                              std=args.std, n_pixels=10, top_n_percent=0.05,
-                             reverse_order=False, ignore_index=args.ignore_index)
-    pool_batch = {
-        "x": rng.integers(0, 255, (PB, *hw, 3), dtype=np.uint8),
-        "y": rng.integers(0, args.n_classes, (PB, *hw)).astype(np.int32),
-        "excluded": np.zeros((PB, *hw), bool),
-    }
-    t_score = _timeit(lambda: score_fn(params, batch_stats, pool_batch, key))
-    query_ips = PB / t_score
+                             reverse_order=False,
+                             ignore_index=args.ignore_index)
+    pool = _pool_batch(rng, pool_B, hw, args.n_classes, device_batches)
+    t_score = _timeit(lambda: score_fn(params, batch_stats, pool, key))
+    query_ips = pool_B / t_score
 
     round_imgs = N_EPOCHS * N_TRAIN + N_TRAIN
     round_time = N_EPOCHS * N_TRAIN / train_ips + N_TRAIN / query_ips
-    value = round_imgs / round_time
+    return round_imgs / round_time, train_ips, query_ips
+
+
+def main():
+    from pixelpick_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--parity", action="store_true",
+                        help="also measure the f32/bs4 parity config")
+    parser.add_argument("--hw", type=int, nargs=2, default=[360, 480])
+    args_cli = parser.parse_args()
+    hw = tuple(args_cli.hw)
+
+    # tpu-native production config
+    args, model, params, stats = _setup("bf16", hw)
+    value, train_ips, query_ips = _measure_round(
+        args, model, params, stats, train_B=16, pool_B=16, hw=hw,
+        dense=False, device_batches=True)
 
     result = {
         "metric": "CamVid MNv2 AL-round throughput (train 50ep + pool sweep)",
@@ -120,41 +159,36 @@ def main():
         "unit": "imgs/sec/chip",
         "vs_baseline": None,
         "detail": {
-            "train_imgs_per_sec": round(train_ips, 2),
-            "query_imgs_per_sec": round(query_ips, 2),
-            "precision": args_cli.precision,
-            "batch_size": B,
-            "pool_batch_size": PB,
+            "tpu_native": {"precision": "bf16", "batch": 16,
+                           "train_imgs_per_sec": round(train_ips, 2),
+                           "query_imgs_per_sec": round(query_ips, 2)},
         },
     }
 
-    if not args_cli.fast:
-        # ---- reference-faithful baseline on the same chip ----
-        dense_step = make_dense_train_step(
-            model, tx, n_classes=args.n_classes,
-            ignore_index=args.ignore_index, mean=args.mean, std=args.std,
-            donate=False)
-        dense_batch = {
-            "x": train_batch["x"],
-            "y": rng.integers(0, args.n_classes, (B, *hw)).astype(np.int32),
+    if args_cli.parity:
+        argsp, modelp, paramsp, statsp = _setup("f32", hw)
+        v_p, t_p, q_p = _measure_round(argsp, modelp, paramsp, statsp,
+                                       train_B=4, pool_B=8, hw=hw,
+                                       dense=False, device_batches=True)
+        result["detail"]["parity_f32_bs4"] = {
+            "round_imgs_per_sec": round(v_p, 2),
+            "train_imgs_per_sec": round(t_p, 2),
+            "query_imgs_per_sec": round(q_p, 2),
         }
-        t_dense = _timeit(lambda s: dense_step(s, dense_batch, key)[0], state)
-        base_train_ips = B / t_dense
 
-        score1 = make_score_fn(model, strategy="margin_sampling",
-                               n_classes=args.n_classes, mean=args.mean,
-                               std=args.std, n_pixels=10, top_n_percent=0.05,
-                               reverse_order=False,
-                               ignore_index=args.ignore_index)
-        pool1 = {k: v[:1] for k, v in pool_batch.items()}
-        t_score1 = _timeit(lambda: score1(params, batch_stats, pool1, key))
-        base_query_ips = 1.0 / t_score1
-
-        base_time = (N_EPOCHS * N_TRAIN / base_train_ips
-                     + N_TRAIN / base_query_ips)
-        result["vs_baseline"] = round(base_time / round_time, 2)
-        result["detail"]["baseline_train_imgs_per_sec"] = round(base_train_ips, 2)
-        result["detail"]["baseline_query_imgs_per_sec"] = round(base_query_ips, 2)
+    if not args_cli.fast:
+        # reference design: f32, dense loss at bs4, bs-1 pool sweep
+        argsb, modelb, paramsb, statsb = _setup("f32", hw)
+        v_b, t_b, q_b = _measure_round(argsb, modelb, paramsb, statsb,
+                                       train_B=4, pool_B=1, hw=hw,
+                                       dense=True, device_batches=True)
+        result["vs_baseline"] = round(value / v_b, 2)
+        result["detail"]["reference_design"] = {
+            "precision": "f32", "train_batch": 4, "pool_batch": 1,
+            "round_imgs_per_sec": round(v_b, 2),
+            "train_imgs_per_sec": round(t_b, 2),
+            "query_imgs_per_sec": round(q_b, 2),
+        }
 
     print(json.dumps(result))
 

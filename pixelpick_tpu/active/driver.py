@@ -112,6 +112,10 @@ class ALModel:
         round_seed = (args.seed * 7919 + self.nth_query + 1) & 0x7FFFFFFF
         params, batch_stats = init_model(
             self.model, jax.random.PRNGKey(round_seed), self.dataset.crop_size)
+        if getattr(args, "pretrained_ckpt", ""):
+            from pixelpick_tpu.models.convert import load_pretrained_ckpt
+            params, batch_stats = load_pretrained_ckpt(
+                params, batch_stats, args.pretrained_ckpt)
         tx = make_optimizer(args, params, iters_per_epoch=len(self.loader))
         state = create_train_state(params, batch_stats, tx)
 

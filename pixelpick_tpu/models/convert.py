@@ -123,27 +123,105 @@ def convert_deeplab(state: dict, n_classes: int, output_stride: int = 16,
     return params, stats
 
 
-def load_pretrained_backbone(params: dict, batch_stats: dict,
-                             ckpt_path: str) -> Tuple[dict, dict]:
-    """Overlay a converted pretrained backbone (npz of flattened paths)."""
-    data = np.load(ckpt_path, allow_pickle=True)
-    tree = data["tree"].item() if "tree" in data else dict(data)
-    import jax
+def _flatten(tree: dict, prefix=()) -> dict:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
 
-    flat_new = {"/".join(map(str, k)): v for k, v in tree.items()} \
-        if isinstance(next(iter(tree)), tuple) else tree
-    params = jax.tree.map(lambda x: x, params)  # copy
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    # best-effort name-based overlay
-    out = params
-    for path, _leaf in flat:
-        key = "/".join(p.key for p in path)
-        if key in flat_new:
-            node = out
-            for p in path[:-1]:
-                node = node[p.key]
-            node[path[-1].key] = np.asarray(flat_new[key])
-    return out, batch_stats
+
+def overlay_tree(base: dict, new: dict, verbose: bool = False) -> dict:
+    """Replace every leaf of ``base`` that exists (same path + shape) in
+    ``new`` — partial loading like the reference's state-dict filtering
+    (mobilenet_v2.py:139-147)."""
+    flat_new = _flatten(new)
+
+    def rec(node, prefix):
+        out = {}
+        for k, v in node.items():
+            p = prefix + (k,)
+            if isinstance(v, dict):
+                out[k] = rec(v, p)
+            elif p in flat_new and np.shape(flat_new[p]) == np.shape(v):
+                out[k] = np.asarray(flat_new[p], dtype=np.asarray(v).dtype)
+            else:
+                if verbose and p in flat_new:
+                    print(f"shape mismatch at {'/'.join(p)}, keeping init")
+                out[k] = v
+        return out
+
+    return rec(base, ())
+
+
+def load_pretrained_ckpt(params: dict, batch_stats: dict,
+                         ckpt_path: str) -> Tuple[dict, dict]:
+    """Overlay a converted checkpoint (msgpack {'params','batch_stats'})
+    onto freshly initialised variables; missing subtrees keep their init."""
+    import flax.serialization
+
+    with open(ckpt_path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    params = overlay_tree(params, payload.get("params", {}))
+    batch_stats = overlay_tree(batch_stats, payload.get("batch_stats", {}))
+    return params, batch_stats
+
+
+def main():
+    """CLI: convert a torch checkpoint to a --pretrained_ckpt msgpack.
+
+    Usage:
+      python -m pixelpick_tpu.models.convert IN.pth OUT.ckpt \
+          --kind {mobilenet_v2,deeplab,resnet,fpn} [--n_layers 50]
+          [--weight_type {supervised,moco_v2}] [--n_classes 11]
+    """
+    from argparse import ArgumentParser
+
+    import flax.serialization
+    import torch
+
+    parser = ArgumentParser("torch -> pixelpick-tpu checkpoint converter")
+    parser.add_argument("src")
+    parser.add_argument("dst")
+    parser.add_argument("--kind", required=True,
+                        choices=["mobilenet_v2", "deeplab", "resnet", "fpn"])
+    parser.add_argument("--n_layers", type=int, default=50)
+    parser.add_argument("--n_classes", type=int, default=11)
+    parser.add_argument("--weight_type", default="supervised",
+                        choices=["supervised", "moco_v2"])
+    args = parser.parse_args()
+
+    blob = torch.load(args.src, map_location="cpu", weights_only=False)
+    state = blob.get("state_dict", blob.get("model", blob)) \
+        if isinstance(blob, dict) else blob
+    state = {k: v for k, v in state.items()}
+
+    if args.kind == "mobilenet_v2":
+        params, stats = convert_mobilenet_v2(state)
+        params, stats = {"backbone": params}, {"backbone": stats}
+    elif args.kind == "deeplab":
+        params, stats = convert_deeplab(state, args.n_classes)
+    elif args.kind == "resnet":
+        if args.weight_type == "moco_v2":
+            state = adapt_moco_v2_keys(state)
+        elif not any(k.startswith("prefix.") for k in state):
+            state = adapt_torchvision_resnet_keys(state)
+        params, stats = convert_resnet_backbone(state, args.n_layers)
+        params, stats = {"encoder": params}, {"encoder": stats}
+    else:
+        params, stats = convert_fpnseg(state, args.n_classes, args.n_layers)
+
+    payload = {"params": params, "batch_stats": stats}
+    with open(args.dst, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    n = len(_flatten(params))
+    print(f"wrote {args.dst} ({n} param tensors)")
+
+
+if __name__ == "__main__":
+    main()
 
 
 # --------------------------- ResNet / FPN ---------------------------
