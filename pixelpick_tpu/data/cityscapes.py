@@ -34,22 +34,27 @@ def classes_to_labels_lut() -> np.ndarray:
 def make_downsampled_cityscapes(dir_cityscapes: str, downsample: int = 4,
                                 val: bool = False) -> None:
     """One-time cache: bilinear-downsample images, nearest labels + remap
-    (cityscapes.py:106-134). Output dir: ``{dir}_d{downsample}``."""
-    h, w = 1024 // downsample, 2048 // downsample
+    (cityscapes.py:106-134). Output dir: ``{dir}_d{downsample}``.
+
+    Unlike the reference, target sizes derive from the actual image (the
+    reference hardcodes 1024x2048) and destination paths via relpath (the
+    reference's substring replace corrupts paths whose parents contain the
+    dataset dir name).
+    """
+    src_root = dir_cityscapes.rstrip("/")
+    dst_root = f"{src_root}_d{downsample}"
     mode = "val" if val else "train"
     lut = classes_to_labels_lut()
-    xs = sorted(glob(f"{dir_cityscapes}/leftImg8bit/{mode}/**/*.png"))
-    ys = sorted(glob(f"{dir_cityscapes}/gtFine/{mode}/**/*_labelIds.png"))
+    xs = sorted(glob(f"{src_root}/leftImg8bit/{mode}/**/*.png"))
+    ys = sorted(glob(f"{src_root}/gtFine/{mode}/**/*_labelIds.png"))
     for px, py in zip(xs, ys):
-        dst_x = os.path.dirname(px).replace(
-            os.path.basename(dir_cityscapes.rstrip("/")),
-            f"{os.path.basename(dir_cityscapes.rstrip('/'))}_d{downsample}")
-        dst_y = os.path.dirname(py).replace(
-            os.path.basename(dir_cityscapes.rstrip("/")),
-            f"{os.path.basename(dir_cityscapes.rstrip('/'))}_d{downsample}")
+        dst_x = os.path.join(dst_root, os.path.relpath(os.path.dirname(px), src_root))
+        dst_y = os.path.join(dst_root, os.path.relpath(os.path.dirname(py), src_root))
         os.makedirs(dst_x, exist_ok=True)
         os.makedirs(dst_y, exist_ok=True)
-        x = Image.open(px).resize((w, h), Image.BILINEAR)
+        img = Image.open(px)
+        w, h = img.size[0] // downsample, img.size[1] // downsample
+        x = img.resize((w, h), Image.BILINEAR)
         y = np.asarray(Image.open(py).resize((w, h), Image.NEAREST))
         y = lut[y]
         x.save(os.path.join(dst_x, os.path.basename(px)))
