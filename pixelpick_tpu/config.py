@@ -110,6 +110,9 @@ def build_parser() -> ArgumentParser:
                         help="stage the dataset in HBM and run the full "
                              "augmentation pipeline on device (uniform-shape "
                              "datasets; see data/device_pipeline.py)")
+    parser.add_argument("--pallas_dw", action="store_true", default=False,
+                        help="use the Pallas depthwise-conv kernel "
+                             "(ops/depthwise.py) instead of XLA's grouped conv")
     return parser
 
 
@@ -176,6 +179,9 @@ def enable_compile_cache() -> None:
 
 def finalize_args(args: Namespace, write_files: bool = True) -> Namespace:
     enable_compile_cache()
+    if getattr(args, "pallas_dw", False):
+        from pixelpick_tpu.models.layers import set_depthwise_impl
+        set_depthwise_impl("pallas")
     """Apply derived fields, dataset blocks, YAML overlay, naming and seeding.
 
     Mirrors reference ``args.py:59-205`` (parse_args body).

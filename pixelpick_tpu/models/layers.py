@@ -82,6 +82,13 @@ def conv(features: int, kernel: Tuple[int, int], stride=1, *, dilation=1,
     if (tuple(kernel) == (1, 1) and stride_t == (1, 1) and groups == 1):
         return Conv1x1(features=features, use_bias=use_bias, dtype=dtype,
                        kernel_init=kernel_init, name=name)
+    if (_DEPTHWISE_IMPL == "pallas" and tuple(kernel) == (3, 3)
+            and groups == features and not use_bias
+            and padding in ("VALID", ((0, 0), (0, 0)))):
+        d = dilation if isinstance(dilation, int) else dilation[0]
+        return PallasDepthwise(features=features, stride=stride_t[0],
+                               dilation=d, dtype=dtype,
+                               kernel_init=kernel_init, name=name)
     # f32 mode must use HIGHEST precision: JAX's default conv precision runs
     # reduced-precision passes (observable ~1e-2 drift vs torch f32, verified
     # in tests/test_model_parity.py). bf16 mode keeps the fast default path.
@@ -118,6 +125,42 @@ def fixed_padding_amounts(kernel_size: int, dilation: int) -> Tuple[int, int]:
 def fixed_pad(x, kernel_size: int, dilation: int):
     beg, end = fixed_padding_amounts(kernel_size, dilation)
     return jnp.pad(x, ((0, 0), (beg, end), (beg, end), (0, 0)))
+
+
+_DEPTHWISE_IMPL = "xla"
+
+
+def set_depthwise_impl(name: str) -> None:
+    """'xla' (grouped conv, default) or 'pallas' (ops/depthwise.py kernel).
+    Process-global; set before model tracing (--pallas_dw does this)."""
+    global _DEPTHWISE_IMPL
+    assert name in ("xla", "pallas"), name
+    _DEPTHWISE_IMPL = name
+
+
+class PallasDepthwise(nn.Module):
+    """3x3 depthwise conv backed by the Pallas kernel. Parameter layout is
+    identical to ``nn.Conv`` grouped form — kernel (3, 3, 1, C) — so
+    checkpoints/converters are implementation-agnostic."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = he_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        from pixelpick_tpu.ops.depthwise import depthwise_conv3x3
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, 1, self.features), jnp.float32)
+        interpret = jax.default_backend() != "tpu"
+        return depthwise_conv3x3(
+            x.astype(self.dtype), kernel[:, :, 0, :].astype(self.dtype),
+            self.stride, self.dilation, 0, interpret)
 
 
 class Dropout2d(nn.Module):
