@@ -13,7 +13,7 @@ torch = pytest.importorskip("torch")
 
 def test_convert_cli_and_overlay(tmp_path):
     # build a reference-shaped torch MobileNetV2 and save it
-    sys.path.insert(0, "/root/reference")
+    sys.path.append("/root/reference")
     import torch.utils.model_zoo as mz
     mz.load_url = lambda *a, **k: {}
     import torch.nn as tnn

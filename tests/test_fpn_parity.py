@@ -16,7 +16,7 @@ REF = "/root/reference"
 
 def _build_reference_fpn(n_layers=18, n_classes=11):
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
     import torch.utils.model_zoo as mz
     mz.load_url = lambda *a, **k: {}
     from networks.model import FPNSeg as TorchFPNSeg

@@ -22,7 +22,7 @@ H, W = 96, 128  # small multiple-of-16 size to keep CPU runtime sane
 
 def _build_reference_deeplab(n_classes=11, use_mc_dropout=False):
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
     import torch.utils.model_zoo as model_zoo
     model_zoo.load_url = lambda *a, **k: {}  # offline: skip pretrained fetch
     from argparse import Namespace
