@@ -99,3 +99,15 @@ def merge_previous_query_files(
     if verbose:
         print(f"# merged pixels: {cnt}")
     return merged
+
+
+def save_query_npy(queries: List[np.ndarray], path: str) -> None:
+    """Stacked bool-array export, the ``query.npy`` format consumed by the
+    annotation GUI (reference ``annotation_tool/launch_gui.py:58``:
+    ``np.load(...).astype(bool)`` of shape (N, H, W))."""
+    np.save(path, np.stack([np.asarray(q, dtype=bool) for q in queries]))
+
+
+def load_query_npy(path: str) -> List[np.ndarray]:
+    arr = np.load(path).astype(bool)
+    return [arr[i] for i in range(arr.shape[0])]

@@ -137,11 +137,13 @@ class ALModel:
         self.best_miou = -1.0
         self.timer = PhaseTimer()
         rng = jax.random.PRNGKey(round_seed ^ 0x5EED)
+        eval_interval = max(1, getattr(args, "eval_interval", 1))
         for epoch in range(1, 1 + args.n_epochs):
             with self.timer.phase("train", len(self.dataset)):
                 state = self._train_epoch(epoch, state, step_fn, rng, dir_stage)
-            with self.timer.phase("val", len(self.dataset_val)):
-                self._val(epoch, state, eval_fn, dir_stage)
+            if epoch % eval_interval == 0 or epoch == args.n_epochs:
+                with self.timer.phase("val", len(self.dataset_val)):
+                    self._val(epoch, state, eval_fn, dir_stage)
             if self.debug:
                 break
         self.timer.dump(f"{dir_stage}/timing.json")

@@ -65,3 +65,16 @@ def test_merge_previous_query_files(tmp_path):
     m = merged["x.png"]
     assert m[0, 0] == 4 and m[1, 2] == 9
     assert (m == ignore).sum() == 7
+
+
+def test_query_npy_roundtrip(tmp_path):
+    from pixelpick_tpu.active.codec import save_query_npy, load_query_npy
+
+    rng = np.random.default_rng(3)
+    qs = [rng.random((6, 8)) < 0.1 for _ in range(4)]
+    p = str(tmp_path / "query.npy")
+    save_query_npy(qs, p)
+    back = load_query_npy(p)
+    assert len(back) == 4
+    for a, b in zip(qs, back):
+        np.testing.assert_array_equal(a, b)
