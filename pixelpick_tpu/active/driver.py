@@ -65,7 +65,10 @@ class ALModel:
                                    mode="query", shuffle=False,
                                    n_workers=args.n_workers, seed=args.seed,
                                    human_labels=human_labels)
-        self.loader_val = Loader(self.dataset_val, 1, mode="val",
+        val_bs = getattr(args, "val_batch_size", 1)
+        if args.dataset_name == "voc":
+            val_bs = 1  # variable image sizes
+        self.loader_val = Loader(self.dataset_val, val_bs, mode="val",
                                  shuffle=False, n_workers=args.n_workers)
 
         self.model = get_model(args)

@@ -55,11 +55,9 @@ class QuerySelector:
         ds = self.loader.dataset
         for batch in self.loader:
             rng, sub = jax.random.split(rng)
-            idx, batch_stats_out = None, None
             indices, dev_stats = self._score_fn(params, batch_stats, batch, sub)
             indices = np.asarray(indices)  # (B, n_pixels) flat
             bsz = indices.shape[0]
-            big_w = batch["x"].shape[2]
             for b in range(bsz):
                 i = sample_idx + b
                 h, w = batch["x"].shape[1:3]

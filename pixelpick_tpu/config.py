@@ -97,6 +97,10 @@ def build_parser() -> ArgumentParser:
                         help="cross-replica BatchNorm statistics (psum over the "
                              "data mesh axis); default mimics the reference's "
                              "single-device BN")
+    parser.add_argument("--val_batch_size", type=int, default=1,
+                        help="validation batch size (reference uses 1, "
+                             "utils.py:75-109; uniform-shape datasets can "
+                             "batch higher)")
     parser.add_argument("--pool_batch_size", type=int, default=16,
                         help="images per device step during pool scoring "
                              "(reference uses batch-size 1, query.py:159)")
