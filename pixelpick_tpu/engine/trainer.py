@@ -37,7 +37,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from pixelpick_tpu.ops.resize import gather_bilinear_align_corners
+from pixelpick_tpu.ops.resize import (
+    gather_bilinear_align_corners, gather_bilinear_matmul,
+)
 from pixelpick_tpu.utils.metrics import confusion_matrix
 
 
@@ -61,15 +63,20 @@ def normalize_images(x_uint8: jnp.ndarray, mean, std) -> jnp.ndarray:
     return (x_uint8.astype(jnp.float32) / 255.0 - mean) / std
 
 
-def sparse_ce_and_hist(logits_lr, coords, labels, valid, full_hw, n_classes):
+def sparse_ce_and_hist(logits_lr, coords, labels, valid, full_hw, n_classes,
+                       gather_impl: str = "matmul"):
     """Cross-entropy + confusion matrix at sparse labelled coordinates.
 
     logits_lr: (B, h, w, C) low-res head logits.
     coords:    (B, K, 2) int32 full-res (y, x); padded entries arbitrary.
     labels:    (B, K) int32; valid: (B, K) bool (False on padding and on
                void-labelled pixels, reproducing CE ``ignore_index``).
+    gather_impl: 'matmul' (one-hot selection matmul — TPU-friendly backward)
+               or 'gather' (take_along_axis; backward scatters).
     """
-    logits = gather_bilinear_align_corners(logits_lr, coords, full_hw)  # B,K,C
+    gather = gather_bilinear_matmul if gather_impl == "matmul" \
+        else gather_bilinear_align_corners
+    logits = gather(logits_lr, coords, full_hw)  # B,K,C
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     safe_labels = jnp.clip(labels, 0, n_classes - 1).astype(jnp.int32)
@@ -82,7 +89,8 @@ def sparse_ce_and_hist(logits_lr, coords, labels, valid, full_hw, n_classes):
 
 
 def make_train_step(model, tx, *, n_classes: int, mean, std,
-                    donate: bool = True, normalize: bool = True) -> Callable:
+                    donate: bool = True, normalize: bool = True,
+                    gather_impl: str = "matmul") -> Callable:
     """Sparse-label train step. batch keys: x (uint8 B,H,W,3 — or already
     normalised f32 when ``normalize=False``, e.g. from the device pipeline),
     coords (B,K,2), labels (B,K), valid (B,K)."""
@@ -98,7 +106,7 @@ def make_train_step(model, tx, *, n_classes: int, mean, std,
         full_hw = batch["x"].shape[1:3]
         loss, hist = sparse_ce_and_hist(
             out["pred"], batch["coords"], batch["labels"], batch["valid"],
-            full_hw, n_classes)
+            full_hw, n_classes, gather_impl=gather_impl)
         return loss, (mutated["batch_stats"], hist)
 
     def train_step(state: TrainState, batch, rng):

@@ -138,3 +138,53 @@ def gather_bilinear_align_corners(
     top = f00 * (1 - wx) + f01 * wx
     bot = f10 * (1 - wx) + f11 * wx
     return top * (1 - wy) + bot * wy
+
+
+def gather_bilinear_matmul(
+    feat: jnp.ndarray, coords_yx: jnp.ndarray, full_hw
+) -> jnp.ndarray:
+    """Same contract as :func:`gather_bilinear_align_corners`, computed as a
+    one-hot selection **matmul** instead of gathers.
+
+    Rationale: under autodiff, a gather's backward is a scatter-add — one of
+    the slowest patterns on TPU. Here the 4 bilinear taps become a sparse
+    row-selection matrix built by broadcasted equality (no scatter), applied
+    with one ``(K, hw) @ (hw, C)`` contraction per image on the MXU; the
+    backward of a matmul is a matmul. K and hw are small (<=128, ~10k), so
+    the dense one-hot costs ~B*K*hw compares + a tiny matmul.
+    """
+    bsz, h, w, c = feat.shape
+    big_h, big_w = int(full_hw[0]), int(full_hw[1])
+    k = coords_yx.shape[1]
+
+    def src(d, in_size, out_size):
+        if out_size == 1 or in_size == out_size:
+            scale = 1.0 if in_size == out_size else 0.0
+        else:
+            scale = (in_size - 1) / (out_size - 1)
+        s = d.astype(jnp.float32) * scale
+        lo = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, max(in_size - 2, 0))
+        frac = s - lo.astype(jnp.float32)
+        return lo, frac
+
+    ylo, yfrac = src(coords_yx[..., 0], h, big_h)  # (B, K)
+    xlo, xfrac = src(coords_yx[..., 1], w, big_w)
+    yhi = jnp.minimum(ylo + 1, h - 1)
+    xhi = jnp.minimum(xlo + 1, w - 1)
+    wy = yfrac
+    wx = xfrac
+
+    # separable selection: bilinear weights factor into row x col one-hots
+    # (2 nonzeros each), so intermediates stay (B,K,h)/(B,K,w) instead of
+    # (B,K,h*w)
+    rows = jnp.arange(h, dtype=jnp.int32)
+    cols = jnp.arange(w, dtype=jnp.int32)
+    sel_y = ((rows[None, None, :] == ylo[..., None]) * (1 - wy)[..., None]
+             + (rows[None, None, :] == yhi[..., None]) * wy[..., None])
+    sel_x = ((cols[None, None, :] == xlo[..., None]) * (1 - wx)[..., None]
+             + (cols[None, None, :] == xhi[..., None]) * wx[..., None])
+    # degenerate h==1 (or lo==hi at the border): ylo == yhi makes both
+    # equality terms hit the same row; weights still sum to 1
+    feat32 = feat.astype(jnp.float32)
+    tmp = jnp.einsum("bkh,bhwc->bkwc", sel_y.astype(jnp.float32), feat32)
+    return jnp.einsum("bkw,bkwc->bkc", sel_x.astype(jnp.float32), tmp)
