@@ -37,7 +37,7 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, warmup=3, iters=10):
+def _timeit(fn, *args, warmup=4, iters=25):
     """fn(i, *args) — the iteration index must reach the computation (e.g.
     folded into a PRNG key): repeated *identical* executions measure up to
     7x faster than hardware peak on this stack (verified vs compiled FLOPs),
