@@ -74,9 +74,17 @@ def sparse_ce_and_hist(logits_lr, coords, labels, valid, full_hw, n_classes,
     gather_impl: 'matmul' (one-hot selection matmul — TPU-friendly backward)
                or 'gather' (take_along_axis; backward scatters).
     """
-    gather = gather_bilinear_matmul if gather_impl == "matmul" \
-        else gather_bilinear_align_corners
-    logits = gather(logits_lr, coords, full_hw)  # B,K,C
+    if logits_lr.shape[1:3] == tuple(full_hw):
+        # full-resolution head (FPN): no interpolation — plain indexing.
+        # (The one-hot matmul would cost O(K * H*W * C) here.)
+        bsz, _, w_full, _ = logits_lr.shape
+        flat = logits_lr.reshape(bsz, -1, logits_lr.shape[-1])
+        idx = coords[..., 0] * w_full + coords[..., 1]
+        logits = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    else:
+        gather = gather_bilinear_matmul if gather_impl == "matmul" \
+            else gather_bilinear_align_corners
+        logits = gather(logits_lr, coords, full_hw)  # B,K,C
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     safe_labels = jnp.clip(labels, 0, n_classes - 1).astype(jnp.int32)

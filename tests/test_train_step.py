@@ -106,3 +106,55 @@ def test_train_step_reduces_loss_tiny_model():
         state, loss, hist = step(state, batch, key)
         losses.append(float(loss))
     assert losses[-1] < losses[0] - 0.2, losses[:3] + losses[-3:]
+
+
+def test_sparse_ce_full_res_fast_path():
+    """Full-resolution head (FPN): indexing fast path == bilinear gather."""
+    rng = np.random.default_rng(3)
+    B, H, W, C = 2, 12, 16, 5
+    logits = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    k = 6
+    coords = np.stack([rng.integers(0, H, (B, k)),
+                       rng.integers(0, W, (B, k))], -1).astype(np.int32)
+    labels = rng.integers(0, C, (B, k)).astype(np.int32)
+    valid = np.ones((B, k), bool)
+    loss_fast, hist_fast = sparse_ce_and_hist(
+        jnp.asarray(logits), jnp.asarray(coords), jnp.asarray(labels),
+        jnp.asarray(valid), (H, W), C)
+    # force the interpolating path via a resized-but-identical map
+    from pixelpick_tpu.ops.resize import gather_bilinear_matmul
+    ref = np.stack([logits[b, coords[b, :, 0], coords[b, :, 1]]
+                    for b in range(B)])
+    got = np.stack([np.asarray(gather_bilinear_matmul(
+        jnp.asarray(logits), jnp.asarray(coords), (H, W)))[b]
+        for b in range(B)])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    assert np.isfinite(float(loss_fast))
+    assert np.asarray(hist_fast).sum() == valid.sum()
+
+
+def test_fpn_sparse_train_step_smoke():
+    """The sparse step works end-to-end with the full-res FPN head."""
+    from pixelpick_tpu.config import default_args
+    from pixelpick_tpu.engine.optim import make_optimizer
+    from pixelpick_tpu.models.fpn import FPNSeg
+
+    args = default_args("cv", network_name="FPN", n_layers=18)
+    model = FPNSeg(n_classes=11, n_layers=18)
+    x = jnp.zeros((1, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    tx = make_optimizer(args, variables["params"], iters_per_epoch=5)
+    state = create_train_state(variables["params"],
+                               variables.get("batch_stats", {}), tx)
+    step = make_train_step(model, tx, n_classes=11,
+                           mean=args.mean, std=args.std, donate=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": rng.integers(0, 255, (1, 16, 16, 3), dtype=np.uint8),
+        "coords": rng.integers(0, 16, (1, 8, 2)).astype(np.int32),
+        "labels": rng.integers(0, 11, (1, 8)).astype(np.int32),
+        "valid": np.ones((1, 8), bool),
+    }
+    state2, loss, hist = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert np.asarray(hist).sum() == 8
