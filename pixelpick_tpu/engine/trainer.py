@@ -7,13 +7,15 @@ syncs metrics to host every iteration (``model.py:125``).
 
 TPU-native redesign:
 
-- **Sparse-label loss.** The head logits stay at 1/4 resolution; we gather
-  their align-corners bilinear interpolation at the <= K labelled pixel
-  coordinates (``ops/resize.py:gather_bilinear_align_corners``) and average
-  the cross-entropy over the valid ones. By linearity of interpolation this
-  is *exactly* the reference's upsample-then-masked-CE (verified in
-  ``tests/test_model_parity.py``), while the backward pass never touches a
-  full-resolution tensor.
+- **Sparse-label loss.** The head logits stay at 1/4 resolution; their
+  align-corners bilinear interpolation is evaluated at the <= K labelled
+  pixel coordinates via separable one-hot selection matmuls
+  (``ops/resize.py:gather_bilinear_matmul`` — backward is a matmul, not a
+  scatter) and the cross-entropy averaged over the valid ones. By linearity
+  of interpolation this is *exactly* the reference's upsample-then-masked-CE
+  (verified in ``tests/test_model_parity.py``), while the backward pass
+  never touches a full-resolution tensor. Full-resolution heads (FPN) take
+  a plain-indexing fast path.
 - **Device metrics.** The train-time running mIoU only ever sees the
   labelled pixels (everything else is ``ignore_index`` under ``_fast_hist``'s
   mask), so it is computed from the same gathered logits — one (n, n)

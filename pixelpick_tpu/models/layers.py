@@ -79,7 +79,8 @@ def conv(features: int, kernel: Tuple[int, int], stride=1, *, dilation=1,
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     stride_t = (stride, stride) if isinstance(stride, int) else tuple(stride)
-    if (tuple(kernel) == (1, 1) and stride_t == (1, 1) and groups == 1):
+    if (tuple(kernel) == (1, 1) and stride_t == (1, 1) and groups == 1
+            and padding in ("VALID", ((0, 0), (0, 0)))):
         return Conv1x1(features=features, use_bias=use_bias, dtype=dtype,
                        kernel_init=kernel_init, name=name)
     if (_DEPTHWISE_IMPL == "pallas" and tuple(kernel) == (3, 3)
