@@ -259,7 +259,8 @@ def convert_resnet_backbone(state: dict, n_layers: int,
                             prefix: str = "") -> Tuple[dict, dict]:
     """Reference-named ResNet state_dict -> our ResNetBackbone tree.
 
-    Torch naming (under ``prefix``): ``prefix.conv1/bn1`` stem,
+    Torch naming (under ``prefix``): ``prefix.conv1/bn1`` stem (deep-base
+    variants add conv2/bn2/conv3/bn3, resnet_models.py:103-113),
     ``layer{L}.{B}.conv{i}/bn{i}`` blocks, ``layer{L}.{B}.downsample.0/1``.
     """
     from pixelpick_tpu.models.resnet import LAYER_SPECS
@@ -267,8 +268,13 @@ def convert_resnet_backbone(state: dict, n_layers: int,
     p = (prefix + ".") if prefix else ""
     params: dict = {}
     stats: dict = {}
-    _set(params, ("conv1", "kernel"), _conv(state, f"{p}prefix.conv1.weight"))
-    _bn(params, stats, ("bn1",), state, f"{p}prefix.bn1")
+    stem_convs = [1]
+    if f"{p}prefix.conv3.weight" in state:  # deep-base stem
+        stem_convs = [1, 2, 3]
+    for ci in stem_convs:
+        _set(params, (f"conv{ci}", "kernel"),
+             _conv(state, f"{p}prefix.conv{ci}.weight"))
+        _bn(params, stats, (f"bn{ci}",), state, f"{p}prefix.bn{ci}")
 
     block_kind, depths = LAYER_SPECS[n_layers]
     n_convs = 2 if block_kind == "basic" else 3
