@@ -74,7 +74,10 @@ def _dw_forward(x: jnp.ndarray, w: jnp.ndarray, stride: int, dilation: int,
     taps = [((ky, kx), (ky * dilation, kx * dilation))
             for ky in range(3) for kx in range(3)]
 
-    if h * wd * ch * x.dtype.itemsize > VMEM_BUDGET:
+    # XLA fallback: (a) image too big for a VMEM block; (b) stride > 1 —
+    # Mosaic's vector.extract_strided_slice only allows unit strides
+    # (verified on the v5e stack), so strided taps can't lower.
+    if stride != 1 or h * wd * ch * x.dtype.itemsize > VMEM_BUDGET:
         return lax.conv_general_dilated(
             x, w.reshape(3, 3, 1, ch), (stride, stride),
             ((0, 0), (0, 0)), rhs_dilation=(dilation, dilation),
