@@ -31,13 +31,20 @@ from pixelpick_tpu.engine.trainer import normalize_images
 MAXIMIZING = ("entropy", "least_confidence")  # query.py:45,53: largest=True
 
 
+def _xlogx(p):
+    """p*log(p) with the p=0 limit (0), avoiding NaN where softmax
+    underflows to exact zero (possible in bf16 tails; the reference's
+    f32 torch path would NaN there too — a defect, not behaviour)."""
+    return jnp.where(p > 0, p * jnp.log(jnp.maximum(p, 1e-30)), 0.0)
+
+
 def uncertainty_map(prob: jnp.ndarray, strategy: str,
                     rng: jax.Array | None = None) -> jnp.ndarray:
     """Per-pixel uncertainty from softmax probs (B,H,W,C) -> (B,H,W).
 
     Reference ``UncertaintySampler`` (query.py:224-247)."""
     if strategy == "entropy":
-        return -(prob * jnp.log(prob)).sum(-1)
+        return -_xlogx(prob).sum(-1)
     if strategy == "least_confidence":
         return 1.0 - prob.max(-1)
     if strategy == "margin_sampling":
@@ -137,7 +144,7 @@ def make_score_fn(model, *, strategy: str, n_classes: int, mean, std,
         idx = jax.vmap(sel)(uc.reshape(bsz, -1), keys)  # (B, n_pixels)
 
         # acquisition stats at picked pixels (QueryStats, query.py:250-308)
-        ent = -(prob * jnp.log(prob)).sum(-1).reshape(bsz, -1)
+        ent = -_xlogx(prob).sum(-1).reshape(bsz, -1)
         picked_ent = jnp.take_along_axis(ent, idx, axis=1)
         picked_y = jnp.take_along_axis(
             batch["y"].reshape(bsz, -1).astype(jnp.int32), idx, axis=1)
