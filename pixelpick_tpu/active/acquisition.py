@@ -89,7 +89,8 @@ def _select_topk(uc_flat, rng, *, strategy, n_pixels, top_n_percent,
 
 def make_score_fn(model, *, strategy: str, n_classes: int, mean, std,
                   n_pixels: int, top_n_percent: float, reverse_order: bool,
-                  ignore_index: int, mc_n_steps: int = 0) -> Callable:
+                  ignore_index: int, mc_n_steps: int = 0,
+                  vote_type: str = "soft") -> Callable:
     """Build the jitted batched pool-scoring function.
 
     batch keys:
@@ -104,23 +105,32 @@ def make_score_fn(model, *, strategy: str, n_classes: int, mean, std,
 
     def forward_probs(params, batch_stats, x, rng):
         if mc_n_steps > 0:
-            # MC-dropout committee: average softmax and average uncertainty
-            # over mc_n_steps stochastic forwards (soft vote, query.py:181-187)
+            # MC-dropout committee over mc_n_steps stochastic forwards.
+            # soft vote: average the per-step uncertainty maps
+            # (query.py:181-187). hard vote: count per-step argmax votes and
+            # score the vote distribution with the same strategy formula —
+            # the reference declares --vote_type hard (args.py:34) but never
+            # implements it; this is the QBC vote-entropy family.
             def step(carry, key):
-                prob_sum, uc_sum = carry
+                prob_sum, uc_sum, votes = carry
                 out = model.apply(
                     {"params": params, "batch_stats": batch_stats}, x,
                     train=False, mc_dropout_on=True, upsample=True,
                     rngs={"dropout": key})
                 p = jax.nn.softmax(out["pred"].astype(jnp.float32), -1)
                 u = uncertainty_map(p, strategy, key)
-                return (prob_sum + p, uc_sum + u), None
+                v = jax.nn.one_hot(p.argmax(-1), n_classes, dtype=jnp.float32)
+                return (prob_sum + p, uc_sum + u, votes + v), None
 
             keys = jax.random.split(rng, mc_n_steps)
             zero_p = jnp.zeros(x.shape[:3] + (n_classes,), jnp.float32)
             zero_u = jnp.zeros(x.shape[:3], jnp.float32)
-            (prob, uc), _ = jax.lax.scan(step, (zero_p, zero_u), keys)
-            return prob / mc_n_steps, uc / mc_n_steps
+            (prob, uc, votes), _ = jax.lax.scan(
+                step, (zero_p, zero_u, zero_p), keys)
+            prob = prob / mc_n_steps
+            if vote_type == "hard":
+                return prob, uncertainty_map(votes / mc_n_steps, strategy, rng)
+            return prob, uc / mc_n_steps
         out = model.apply({"params": params, "batch_stats": batch_stats}, x,
                           train=False, upsample=True)
         prob = jax.nn.softmax(out["pred"].astype(jnp.float32), -1)

@@ -41,6 +41,7 @@ class QuerySelector:
             reverse_order=args.reverse_order,
             ignore_index=args.ignore_index,
             mc_n_steps=args.mc_n_steps if args.use_mc_dropout else 0,
+            vote_type=args.vote_type,
         )
 
     def __call__(self, nth_query: int, params, batch_stats,

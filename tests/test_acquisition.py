@@ -125,3 +125,51 @@ def test_mc_dropout_committee_runs():
                            "y": np.zeros((1, 6, 6), np.int32)},
                           jax.random.PRNGKey(0))
     assert np.asarray(idx).shape == (1, 3)
+
+
+def test_mc_dropout_hard_vote():
+    """Hard vote: uncertainty from the committee's argmax vote distribution.
+    A dropout-free model votes identically every step -> margin 1 class
+    fraction differences are 1.0 (fully certain) at every pixel, so with
+    entropy strategy the vote entropy is exactly 0."""
+    import flax.linen as nn
+
+    class TinyDet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, mc_dropout_on=False, upsample=True):
+            return {"pred": nn.Conv(4, (1, 1), name="cls")(x), "emb": x}
+
+    model = TinyDet()
+    x = np.random.default_rng(0).integers(0, 255, (1, 6, 6, 3), dtype=np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 6, 3)))
+    score_fn = make_score_fn(model, strategy="entropy", n_classes=4,
+                             mean=[0.5] * 3, std=[0.25] * 3, n_pixels=3,
+                             top_n_percent=0.0, reverse_order=False,
+                             ignore_index=11, mc_n_steps=4, vote_type="hard")
+    idx, stats = score_fn(variables["params"], {},
+                          {"x": x, "excluded": np.zeros((1, 6, 6), bool),
+                           "y": np.zeros((1, 6, 6), np.int32)},
+                          jax.random.PRNGKey(0))
+    assert np.asarray(idx).shape == (1, 3)
+
+    # stochastic committee: hard vote must run and pick valid pixels
+    class TinyDrop(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, mc_dropout_on=False, upsample=True):
+            h = nn.Conv(8, (1, 1), name="c1")(x)
+            h = nn.Dropout(0.5, deterministic=not (train or mc_dropout_on))(h)
+            return {"pred": nn.Conv(4, (1, 1), name="cls")(h), "emb": h}
+
+    model2 = TinyDrop()
+    v2 = model2.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(1)},
+                     jnp.zeros((1, 6, 6, 3)), train=True)
+    score2 = make_score_fn(model2, strategy="margin_sampling", n_classes=4,
+                           mean=[0.5] * 3, std=[0.25] * 3, n_pixels=3,
+                           top_n_percent=0.0, reverse_order=False,
+                           ignore_index=11, mc_n_steps=6, vote_type="hard")
+    idx2, _ = score2(v2["params"], {},
+                     {"x": x, "excluded": np.zeros((1, 6, 6), bool),
+                      "y": np.zeros((1, 6, 6), np.int32)},
+                     jax.random.PRNGKey(2))
+    assert len(set(np.asarray(idx2)[0].tolist())) == 3
