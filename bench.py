@@ -199,7 +199,12 @@ def main():
                                        train_B=4, pool_B=1, hw=hw,
                                        dense=True, device_batches=True)
         result["vs_baseline"] = round(value / v_b, 2)
-        result["detail"]["reference_design"] = {
+        # NOT a torch measurement: the reference's algorithmic design
+        # (f32, dense CE at bs4, bs-1 pool sweep) re-expressed in this
+        # framework and timed on the same chip. Timing actual torch on this
+        # 1-core CPU-less-host would measure the host, not the design.
+        result["baseline_kind"] = "reference_design_in_jax_same_chip"
+        result["detail"]["reference_design_in_jax"] = {
             "precision": "f32", "train_batch": 4, "pool_batch": 1,
             "round_imgs_per_sec": round(v_b, 2),
             "train_imgs_per_sec": round(t_b, 2),

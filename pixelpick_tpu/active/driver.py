@@ -35,7 +35,7 @@ from pixelpick_tpu.models import get_model, init_model
 from pixelpick_tpu.parallel.mesh import shard_batch, get_mesh
 from pixelpick_tpu.utils.logging import write_log
 from pixelpick_tpu.utils.metrics import AverageMeter, RunningScore, scores_from_confusion
-from pixelpick_tpu.utils.profiling import PhaseTimer
+from pixelpick_tpu.utils.profiling import PhaseTimer, trace
 from pixelpick_tpu.utils.visualiser import Visualiser
 
 
@@ -98,8 +98,11 @@ class ALModel:
             params, batch_stats = self._run_stage(f"{nth_query}_query")
             if nth_query == n_stages - 1:
                 break
-            queries = self.query_selector(nth_query, params, batch_stats,
-                                          human_labels=self.human_labels)
+            profile_dir = getattr(args, "profile_dir", "")
+            with trace(f"{profile_dir}/query" if profile_dir
+                       and nth_query == 0 else None):
+                queries = self.query_selector(nth_query, params, batch_stats,
+                                              human_labels=self.human_labels)
             self.dataset.label_queries(queries, nth_query + 1)
 
     def _run_stage(self, stage_name: str) -> Tuple:
@@ -141,8 +144,15 @@ class ALModel:
         self.timer = PhaseTimer()
         rng = jax.random.PRNGKey(round_seed ^ 0x5EED)
         eval_interval = max(1, getattr(args, "eval_interval", 1))
+        profile_dir = getattr(args, "profile_dir", "")
+        # trace one steady-state epoch (epoch 2 skips compile noise) of the
+        # first stage only; query-phase tracing is in __call__
+        trace_epoch = min(2, args.n_epochs) if profile_dir \
+            and self.nth_query <= 0 else -1
         for epoch in range(1, 1 + args.n_epochs):
-            with self.timer.phase("train", len(self.dataset)):
+            with self.timer.phase("train", len(self.dataset)), \
+                    trace(f"{profile_dir}/train" if epoch == trace_epoch
+                          else None):
                 state = self._train_epoch(epoch, state, step_fn, rng, dir_stage)
             if epoch % eval_interval == 0 or epoch == args.n_epochs:
                 with self.timer.phase("val", len(self.dataset_val)):

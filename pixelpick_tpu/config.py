@@ -117,6 +117,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--pallas_dw", action="store_true", default=False,
                         help="use the Pallas depthwise-conv kernel "
                              "(ops/depthwise.py) instead of XLA's grouped conv")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="write jax.profiler traces of the train and "
+                             "query phases to this directory (TensorBoard-"
+                             "loadable; see utils/profiling.trace)")
     return parser
 
 
@@ -182,14 +186,14 @@ def enable_compile_cache() -> None:
 
 
 def finalize_args(args: Namespace, write_files: bool = True) -> Namespace:
-    enable_compile_cache()
-    if getattr(args, "pallas_dw", False):
-        from pixelpick_tpu.models.layers import set_depthwise_impl
-        set_depthwise_impl("pallas")
     """Apply derived fields, dataset blocks, YAML overlay, naming and seeding.
 
     Mirrors reference ``args.py:59-205`` (parse_args body).
     """
+    enable_compile_cache()
+    if getattr(args, "pallas_dw", False):
+        from pixelpick_tpu.models.layers import set_depthwise_impl
+        set_depthwise_impl("pallas")
     args.augmentations = {
         "geometric": {
             "random_scale": args.use_aug,

@@ -33,6 +33,13 @@ from PIL import Image
 
 from pixelpick_tpu.active import codec
 
+# Count of sparse-extraction overflows (labelled pixels dropped because a
+# crop contained more than k_max of them). The reference's dense path never
+# drops a labelled pixel (model.py:108-116), so any overflow is a parity
+# bug — k_max carries scale-aware headroom to make this unreachable, and
+# tests assert the counter stays zero.
+SPARSE_OVERFLOW_COUNT = 0
+
 
 def extract_sparse_labels(queries: np.ndarray, y: np.ndarray,
                           ignore_index: int, k_max: int):
@@ -43,6 +50,14 @@ def extract_sparse_labels(queries: np.ndarray, y: np.ndarray,
     """
     ys, xs = np.nonzero(queries)
     labels = y[ys, xs].astype(np.int32)
+    if len(ys) > k_max:
+        global SPARSE_OVERFLOW_COUNT
+        SPARSE_OVERFLOW_COUNT += 1
+        import warnings
+        warnings.warn(
+            f"sparse-label overflow: {len(ys)} labelled pixels in crop but "
+            f"k_max={k_max}; {len(ys) - k_max} dropped. Raise the k_max "
+            "headroom (data/base.py) — the reference never drops labels.")
     n = min(len(ys), k_max)
     coords = np.zeros((k_max, 2), np.int32)
     out_labels = np.zeros((k_max,), np.int32)
@@ -59,6 +74,13 @@ def extract_sparse_from_map(labelled_map: np.ndarray, ignore_index: int,
     """Human-label mode: coords+labels from a merged int label map
     (train.py:44-45)."""
     ys, xs = np.nonzero(labelled_map != ignore_index)
+    if len(ys) > k_max:
+        global SPARSE_OVERFLOW_COUNT
+        SPARSE_OVERFLOW_COUNT += 1
+        import warnings
+        warnings.warn(
+            f"sparse-label overflow (human labels): {len(ys)} labelled "
+            f"pixels but k_max={k_max}; {len(ys) - k_max} dropped.")
     n = min(len(ys), k_max)
     coords = np.zeros((k_max, 2), np.int32)
     out_labels = np.zeros((k_max,), np.int32)
@@ -97,9 +119,16 @@ class SegDatasetBase:
         self._x_cache: dict = {}
         self._y_cache: dict = {}
         self.cache_images = True
-        # sparse coordinate budget per image (see engine/trainer.py)
-        self.k_max = int(max(args.max_budget + max(args.n_init_pixels, 0),
-                             args.n_pixels_by_us, 1))
+        # Sparse coordinate budget per image (see engine/trainer.py).
+        # Headroom: random scale up to 2.0x with nearest-resized query masks
+        # duplicates each labelled pixel up to ceil(2.0)^2 = 4x, and in the
+        # worst case every duplicate lands inside the crop — so 4x the
+        # nominal budget guarantees extract_sparse_labels never truncates
+        # (the reference's dense path never drops a label, model.py:108-116).
+        base_k = int(max(args.max_budget + max(args.n_init_pixels, 0),
+                         args.n_pixels_by_us, 1))
+        headroom = 4 if self.geometric_augmentations.get("random_scale") else 1
+        self.k_max = base_k * headroom
 
     # ----------------------------- state -----------------------------
 

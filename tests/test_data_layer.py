@@ -60,6 +60,74 @@ def test_extract_sparse_labels_padding_and_void():
     assert not valid[3:].any()
 
 
+def test_two_x_upscale_keeps_every_labelled_pixel():
+    """Regression for the k_max truncation bug: a 2.0x random scale
+    (nearest-resized query mask) duplicates each labelled pixel up to 4x;
+    with scale-aware headroom no labelled pixel may ever be dropped
+    (the reference's dense path never drops one, model.py:108-116)."""
+    import pixelpick_tpu.data.base as base_mod
+
+    class ForcedScale(random.Random):
+        def uniform(self, a, b):  # random_scale draw -> always max scale
+            return 2.0
+
+        def random(self):  # hflip draw
+            return 0.0
+
+        def randint(self, a, b):  # crop offsets -> fixed
+            return a
+
+    h, w = 40, 60
+    n_px = 30
+    rng_img = np.random.default_rng(1)
+    y = rng_img.integers(0, 11, (h, w)).astype(np.int32)
+    q = np.zeros((h, w), bool)
+    flat = rng_img.choice(h * w, n_px, replace=False)
+    q.reshape(-1)[flat] = True
+    x = Image.fromarray(rng_img.integers(0, 255, (h, w, 3), dtype=np.uint8))
+
+    # crop the full scaled extent so every duplicate stays in frame
+    _, y_out, q_out, _ = geometric_augment(
+        x, Image.fromarray(y, mode="I"), q, None, ForcedScale(),
+        crop_size=(2 * h, 2 * w), mean_fill=(0, 0, 0), ignore_index=11)
+    n_in_crop = int(q_out.sum())
+    assert n_in_crop == 4 * n_px  # every pixel duplicated exactly 2x2
+
+    before = base_mod.SPARSE_OVERFLOW_COUNT
+    k_max = 4 * n_px  # the scale-aware headroom base.py now applies
+    coords, labels, valid = extract_sparse_labels(q_out, y_out, 11, k_max)
+    assert base_mod.SPARSE_OVERFLOW_COUNT == before  # no silent drop
+    ys, xs = np.nonzero(q_out)
+    assert {(int(a), int(b)) for a, b in zip(ys, xs)} == \
+        {(int(c[0]), int(c[1])) for c in coords[:n_in_crop]}
+
+    # and the old budget (no headroom) would have overflowed -> warns + counts
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        extract_sparse_labels(q_out, y_out, 11, n_px)
+    assert base_mod.SPARSE_OVERFLOW_COUNT == before + 1
+
+
+def test_dataset_k_max_carries_scale_headroom(tmp_path):
+    """SegDatasetBase.k_max must be 4x the nominal budget when random_scale
+    is enabled, and 1x when it is not."""
+    from types import SimpleNamespace
+    from pixelpick_tpu.data.base import SegDatasetBase
+
+    def mk(random_scale):
+        return SimpleNamespace(
+            seed=0, ignore_index=11, n_classes=11, mean=[0.5] * 3,
+            std=[0.25] * 3, dir_checkpoints=str(tmp_path),
+            max_budget=100, n_init_pixels=10, n_pixels_by_us=10,
+            augmentations={"geometric": {"random_scale": random_scale,
+                                         "crop": True, "random_hflip": True},
+                           "photometric": {}})
+
+    assert SegDatasetBase(mk(True)).k_max == 4 * 110
+    assert SegDatasetBase(mk(False)).k_max == 110
+
+
 def test_extract_sparse_from_map():
     m = np.full((4, 4), 255, np.int64)
     m[1, 2] = 3
