@@ -93,10 +93,14 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--precision", type=str, default="f32",
                         choices=["f32", "bf16"],
                         help="compute dtype for conv/matmul inside the model")
-    parser.add_argument("--sync_bn", action="store_true", default=False,
-                        help="cross-replica BatchNorm statistics (psum over the "
-                             "data mesh axis); default mimics the reference's "
-                             "single-device BN")
+    parser.add_argument("--bn_group_size", type=int, default=0,
+                        help="ghost BatchNorm: compute BN moments over fixed "
+                             "groups of this many samples instead of the whole "
+                             "(global) batch. '--batch_size 48 --bn_group_size "
+                             "4' reproduces the reference's single-device bs=4 "
+                             "BN statistics at 12x the step size, on any mesh; "
+                             "0 = whole-batch moments (XLA syncs across the "
+                             "data mesh automatically)")
     parser.add_argument("--val_batch_size", type=int, default=1,
                         help="validation batch size (reference uses 1, "
                              "utils.py:75-109; uniform-shape datasets can "

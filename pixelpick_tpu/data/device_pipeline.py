@@ -12,9 +12,9 @@ augments ~30 imgs/s), so this module moves the whole pipeline on device:
   random crop -> hflip) is re-expressed as a **fixed-shape inverse warp**:
   each output pixel gathers from a source coordinate computed from 4 random
   scalars per sample, so XLA sees static shapes. Labels/query masks use
-  nearest taps, images bilinear taps — same semantics as the reference's
-  NEAREST/BILINEAR resizes (note: PIL antialiases >2x downscales; the warp
-  does not — a documented distribution difference, off by default);
+  nearest taps; images use PIL-parity triangle-filter taps whose support
+  widens with 1/scale — i.e. the same antialiased downscale PIL's BILINEAR
+  applies — reducing to exact 2-tap bilinear on upscales (``_tap_weights``);
 - photometric augmentation (colour jitter, grayscale, Gaussian blur) in
   pure jnp, vmapped with per-sample PRNG keys;
 - sparse labelled-coordinate extraction (top-K over the augmented query
@@ -70,6 +70,28 @@ def _warp_coords(crop_hw, src_len, scaled_len, offset, coords_out):
     return (pos + 0.5) * scale - 0.5, pos
 
 
+def _tap_weights(u, src_len, fscale, n_taps=4):
+    """PIL-style triangle-filter taps for one axis.
+
+    PIL's BILINEAR resize antialiases downscales: the triangle filter's
+    support scales with ``filterscale = max(1/scale, 1)`` and out-of-image
+    taps are dropped with the remaining weights renormalised
+    (Pillow ``precompute_coeffs``). For upscales (fscale==1) this reduces
+    to exactly the classic 2-tap bilinear. fscale in [1, 2] (scale draws
+    are U(0.5, 2.0)) needs taps floor(u)-1 .. floor(u)+2.
+
+    Returns (idx (..., n_taps) int32 clipped, w (..., n_taps) normalised).
+    """
+    base = jnp.floor(u).astype(jnp.int32)
+    offs = jnp.arange(-1, n_taps - 1, dtype=jnp.int32)
+    idx = base[..., None] + offs
+    dist = (idx.astype(jnp.float32) - u[..., None]) / fscale
+    wt = jnp.maximum(0.0, 1.0 - jnp.abs(dist))
+    wt = wt * ((idx >= 0) & (idx < src_len))   # drop out-of-image taps
+    wt = wt / jnp.maximum(wt.sum(-1, keepdims=True), 1e-8)
+    return jnp.clip(idx, 0, src_len - 1), wt
+
+
 def warp_sample(x, y, q, crop_hw, rs_geom, *, mean_fill, ignore_index):
     """Apply one sampled geometric transform to (x uint8, y int32, q bool).
 
@@ -88,17 +110,14 @@ def warp_sample(x, y, q, crop_hw, rs_geom, *, mean_fill, ignore_index):
     v, pos_j = _warp_coords(crop_hw, w, sw, left, jj)
     inside = (pos_i < sh) & (pos_j < sw)  # else bottom/right pad region
 
-    # bilinear taps for the image
-    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, h - 1)
-    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, w - 1)
-    u1 = jnp.minimum(u0 + 1, h - 1)
-    v1 = jnp.minimum(v0 + 1, w - 1)
-    fu = jnp.clip(u - u0, 0.0, 1.0)[..., None]
-    fv = jnp.clip(v - v0, 0.0, 1.0)[..., None]
+    # PIL-parity triangle taps for the image: antialiased when downscaling
+    # (support widens with 1/rs), exact 2-tap bilinear when upscaling
+    fscale = jnp.maximum(1.0 / rs, 1.0)
+    iu, wu = _tap_weights(u, h, fscale)        # (ch,cw,4)
+    iv, wv = _tap_weights(v, w, fscale)
     xf = x.astype(jnp.float32)
-    top_row = xf[u0, v0] * (1 - fv) + xf[u0, v1] * fv
-    bot_row = xf[u1, v0] * (1 - fv) + xf[u1, v1] * fv
-    x_out = top_row * (1 - fu) + bot_row * fu
+    taps = xf[iu[..., :, None], iv[..., None, :]]      # (ch,cw,4,4,3)
+    x_out = jnp.einsum("...a,...b,...abc->...c", wu, wv, taps)
     x_out = jnp.where(inside[..., None], x_out,
                       jnp.asarray(mean_fill, jnp.float32))
 
@@ -152,12 +171,12 @@ def photometric_device(x, key, *, jitter=(0.8, 0.8, 0.8, 0.2),
                        enabled=None):
     """Per-sample photometric augs on a (ch,cw,3) f32 [0,255] image.
 
-    Matches base_dataset.py:129-141 distributions (jitter factors, p=0.8
-    apply, grayscale p=0.2, blur p=0.5 sigma U(0.1,2)); op order fixed
-    B->C->S->H (the reference shuffles order — minor distribution diff).
+    Matches base_dataset.py:129-141 distributions: jitter factors, p=0.8
+    apply, shuffled op order (torchvision ColorJitter semantics),
+    grayscale p=0.2, blur p=0.5 sigma U(0.1,2).
     """
     enabled = enabled or {}
-    kb, kc, ks, kh, kap, kg, kbl, kbs = jax.random.split(key, 8)
+    kb, kc, ks, kh, kap, kg, kbl, kbs, kord = jax.random.split(key, 9)
     bf, cf, sf, hf = jitter
 
     if enabled.get("random_color_jitter", True):
@@ -167,14 +186,31 @@ def photometric_device(x, key, *, jitter=(0.8, 0.8, 0.8, 0.2),
         f_s = jax.random.uniform(ks, minval=max(0, 1 - sf), maxval=1 + sf)
         f_h = jax.random.uniform(kh, minval=-hf, maxval=hf)
 
-        def jit_ops(z):
-            z = jnp.clip(z * f_b, 0, 255)
+        def op_brightness(z):
+            return jnp.clip(z * f_b, 0, 255)
+
+        def op_contrast(z):
             gray_mean = jnp.mean(jnp.round(_rgb_to_gray(z)))
-            z = jnp.clip(z * f_c + (1 - f_c) * gray_mean, 0, 255)
+            return jnp.clip(z * f_c + (1 - f_c) * gray_mean, 0, 255)
+
+        def op_saturation(z):
             gray = _rgb_to_gray(z)[..., None]
-            z = jnp.clip(z * f_s + (1 - f_s) * gray, 0, 255)
-            if hf > 0:
-                z = jnp.clip(_adjust_hue(z, f_h), 0, 255)
+            return jnp.clip(z * f_s + (1 - f_s) * gray, 0, 255)
+
+        def op_hue(z):
+            if hf <= 0:
+                return z
+            return jnp.clip(_adjust_hue(z, f_h), 0, 255)
+
+        # torchvision ColorJitter applies the enabled ops in a *shuffled*
+        # order (host path: augment.py color_jitter rng.shuffle) — four
+        # unrolled switches over a random permutation reproduce that
+        ops = [op_brightness, op_contrast, op_saturation, op_hue]
+        perm = jax.random.permutation(kord, 4)
+
+        def jit_ops(z):
+            for i in range(4):
+                z = jax.lax.switch(perm[i], ops, z)
             return z
 
         x = jnp.where(apply, jit_ops(x), x)

@@ -21,6 +21,7 @@ ASPP_IN_PLANES = {"mobilenet": 320, "drn": 512, "resnet": 2048}
 class ASPP(nn.Module):
     output_stride: int = 16
     dtype: jnp.dtype = jnp.float32
+    bn_groups: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool, dropout_on: bool = False):
@@ -37,20 +38,20 @@ class ASPP(nn.Module):
             pad = 0 if d == 1 else d
             b = conv(256, k, padding=pad, dilation=d, dtype=self.dtype,
                      name=f"aspp{i}")(x)
-            b = TorchBatchNorm(self.dtype, name=f"aspp{i}_bn")(b, train)
+            b = TorchBatchNorm(self.dtype, self.bn_groups, name=f"aspp{i}_bn")(b, train)
             branches.append(nn.relu(b))
 
         # global-average-pool branch (aspp.py:54-57,69-70)
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
         g = conv(256, (1, 1), dtype=self.dtype, name="gap_conv")(g)
-        g = TorchBatchNorm(self.dtype, name="gap_bn")(g, train)
+        g = TorchBatchNorm(self.dtype, self.bn_groups, name="gap_bn")(g, train)
         g = nn.relu(g)
         g = jnp.broadcast_to(g, branches[0].shape)
         branches.append(g)
 
         h = jnp.concatenate(branches, axis=-1)  # 1280
         h = conv(256, (1, 1), dtype=self.dtype, name="proj")(h)
-        h = TorchBatchNorm(self.dtype, name="proj_bn")(h, train)
+        h = TorchBatchNorm(self.dtype, self.bn_groups, name="proj_bn")(h, train)
         h = nn.relu(h)
         h = nn.Dropout(0.5, deterministic=not (train or dropout_on))(h)
         return h

@@ -36,15 +36,16 @@ class SegmentHead(nn.Module):
     n_classes: int
     mc_dropout_p: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    bn_groups: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool, dropout_on: bool = False):
         h = conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
-        h = TorchBatchNorm(self.dtype, name="bn1")(h, train)
+        h = TorchBatchNorm(self.dtype, self.bn_groups, name="bn1")(h, train)
         h = nn.relu(h)
         h = nn.Dropout(0.5, deterministic=not (train or dropout_on))(h)
         h = conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
-        h = TorchBatchNorm(self.dtype, name="bn2")(h, train)
+        h = TorchBatchNorm(self.dtype, self.bn_groups, name="bn2")(h, train)
         emb = nn.relu(h)
         emb = nn.Dropout(self.mc_dropout_p,
                          deterministic=not (train or dropout_on))(emb)
@@ -60,6 +61,7 @@ class DeepLab(nn.Module):
     mc_dropout: bool = False
     mc_dropout_p: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    bn_groups: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False, mc_dropout_on: bool = False,
@@ -67,21 +69,23 @@ class DeepLab(nn.Module):
         high, low = MobileNetV2(
             output_stride=self.output_stride, width_mult=self.width_mult,
             mc_dropout=self.mc_dropout, mc_dropout_p=self.mc_dropout_p,
-            dtype=self.dtype, name="backbone",
+            dtype=self.dtype, bn_groups=self.bn_groups, name="backbone",
         )(x, train, mc_dropout_on)
 
-        a = ASPP(self.output_stride, dtype=self.dtype, name="aspp")(
+        a = ASPP(self.output_stride, dtype=self.dtype,
+                 bn_groups=self.bn_groups, name="aspp")(
             high, train, mc_dropout_on)
 
         ll = conv(48, (1, 1), dtype=self.dtype, name="low_level_conv")(low)
-        ll = TorchBatchNorm(self.dtype, name="low_level_bn")(ll, train)
+        ll = TorchBatchNorm(self.dtype, self.bn_groups, name="low_level_bn")(ll, train)
         ll = nn.relu(ll)
 
         a = resize_align_corners(a, ll.shape[1:3])
         h = jnp.concatenate([a, ll], axis=-1)  # [256 | 48] (deeplab.py:50)
 
         emb, pred = SegmentHead(self.n_classes, self.mc_dropout_p,
-                                dtype=self.dtype, name="seg_head")(
+                                dtype=self.dtype, bn_groups=self.bn_groups,
+                                name="seg_head")(
             h, train, mc_dropout_on)
 
         if not upsample:

@@ -11,6 +11,7 @@ def _dtype(args):
 
 
 def get_model(args):
+    bn_groups = int(getattr(args, "bn_group_size", 0) or 0)
     if args.network_name == "deeplab":
         from pixelpick_tpu.models.deeplab import DeepLab
         return DeepLab(
@@ -20,6 +21,7 @@ def get_model(args):
             mc_dropout=args.use_mc_dropout,
             mc_dropout_p=args.mc_dropout_p,
             dtype=_dtype(args),
+            bn_groups=bn_groups,
         )
     if args.network_name == "FPN":
         from pixelpick_tpu.models.fpn import FPNSeg
@@ -30,6 +32,7 @@ def get_model(args):
             dilate_scale=8 if args.use_dilated_resnet else 0,
             mc_dropout_p=args.mc_dropout_p,
             dtype=_dtype(args),
+            bn_groups=bn_groups,
         )
     raise ValueError(args.network_name)
 

@@ -88,6 +88,7 @@ class FPNSeg(nn.Module):
     dilate_scale: int = 8
     mc_dropout_p: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    bn_groups: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False, mc_dropout_on: bool = False,
@@ -95,7 +96,7 @@ class FPNSeg(nn.Module):
         feats = ResNetBackbone(
             n_layers=self.n_layers, dilate_scale=self.dilate_scale,
             width_multiplier=self.width_multiplier, dtype=self.dtype,
-            name="encoder")(x, train)
+            bn_groups=self.bn_groups, name="encoder")(x, train)
         out = FPNDecoder(self.n_classes, self.n_layers,
                          self.width_multiplier, dtype=self.dtype,
                          name="decoder")(feats)

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # torch kaiming_normal_(default leaky_relu a=0, fan_in) == He normal fan_in
@@ -18,27 +19,84 @@ he_normal_fan_in = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 he_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+class _BNCore(nn.Module):
+    """BatchNorm with optional fixed-size statistic groups ("ghost BN").
+
+    ``groups == 0``: moments over the whole (global, if sharded) batch —
+    flax ``nn.BatchNorm`` semantics, replicated here numerics-for-numerics
+    (f32 fast-variance stats, (x - mean) * rsqrt(var + eps) * scale + bias,
+    result cast to ``dtype``). Variable layout is identical to
+    ``nn.BatchNorm`` (params scale/bias, batch_stats mean/var), so
+    checkpoints and the torch converter are implementation-agnostic.
+
+    ``groups == G > 0``: the batch is split into contiguous groups of G
+    samples; each group is normalised with its own moments and the running
+    stats take the group-mean of the per-group moments. This reproduces the
+    reference's single-device bs=4 BatchNorm *statistics* at any larger
+    batch (``--batch_size 48 --bn_group_size 4`` = 12 independent bs-4 BNs
+    per step), and — because the grouping depends only on batch content —
+    is mesh-independent: with G = per-device batch it is also exactly
+    "local-replica BN" under data parallelism, with zero cross-device BN
+    collectives. (Ghost BN: Hoffer et al., NeurIPS 2017.)
+
+    Batches not divisible by G (e.g. the loader's remainder batch) fall
+    back to whole-batch moments — the trace-time shape decides.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    groups: int = 0
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if use_running_average:
+            mul = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            y = (x - ra_mean.value) * mul + bias
+            return jnp.asarray(y, self.dtype)
+
+        b = x.shape[0]
+        g = self.groups if 0 < self.groups < b and b % self.groups == 0 else b
+        ng = b // g
+        xf = x.astype(jnp.float32).reshape(ng, g, *x.shape[1:])
+        mu = xf.mean(axis=(1, 2, 3))                        # (ng, c)
+        mu2 = (xf * xf).mean(axis=(1, 2, 3))
+        var = jnp.maximum(0.0, mu2 - mu * mu)               # fast variance
+        if not self.is_initializing():
+            ra_mean.value = self.momentum * ra_mean.value \
+                + (1 - self.momentum) * mu.mean(0)
+            ra_var.value = self.momentum * ra_var.value \
+                + (1 - self.momentum) * var.mean(0)
+        exp = (slice(None), None, None, None, slice(None))
+        mul = jax.lax.rsqrt(var + self.epsilon)[exp] * scale
+        y = (x.reshape(xf.shape) - mu[exp]) * mul + bias
+        return jnp.asarray(y.reshape(x.shape), self.dtype)
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm matching ``torch.nn.BatchNorm2d`` defaults.
 
-    Under a sharded (data-parallel) batch inside ``jit``, the batch moments
-    are computed over the *global* batch automatically (XLA inserts the
-    collectives) — the TPU-native generalisation of the reference's
-    single-device BN.
+    Under a sharded (data-parallel) batch inside ``jit`` with ``groups=0``,
+    the batch moments are computed over the *global* batch automatically
+    (XLA inserts the collectives). ``groups=G`` gives ghost/local-replica
+    BN — see :class:`_BNCore`.
     """
 
     dtype: jnp.dtype = jnp.float32
+    groups: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="bn",
-        )(x)
+        return _BNCore(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                       groups=self.groups, name="bn")(x, not train)
 
 
 class Conv1x1(nn.Module):

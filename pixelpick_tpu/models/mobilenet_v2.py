@@ -72,6 +72,7 @@ class InvertedResidual(nn.Module):
     dilation: int
     expand_ratio: int
     dtype: jnp.dtype = jnp.float32
+    bn_groups: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -80,14 +81,14 @@ class InvertedResidual(nn.Module):
         h = fixed_pad(x, 3, self.dilation)  # pad the whole block input (:61)
         if self.expand_ratio != 1:
             h = conv(hidden, (1, 1), dtype=self.dtype, name="expand")(h)
-            h = TorchBatchNorm(self.dtype, name="expand_bn")(h, train)
+            h = TorchBatchNorm(self.dtype, self.bn_groups, name="expand_bn")(h, train)
             h = relu6(h)
         h = conv(hidden, (3, 3), self.stride, dilation=self.dilation,
                  groups=hidden, dtype=self.dtype, name="dw")(h)
-        h = TorchBatchNorm(self.dtype, name="dw_bn")(h, train)
+        h = TorchBatchNorm(self.dtype, self.bn_groups, name="dw_bn")(h, train)
         h = relu6(h)
         h = conv(self.oup, (1, 1), dtype=self.dtype, name="project")(h)
-        h = TorchBatchNorm(self.dtype, name="project_bn")(h, train)
+        h = TorchBatchNorm(self.dtype, self.bn_groups, name="project_bn")(h, train)
         return x + h if use_res else h
 
 
@@ -97,6 +98,7 @@ class MobileNetV2(nn.Module):
     mc_dropout: bool = False
     mc_dropout_p: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    bn_groups: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool, mc_dropout_on: bool = False
@@ -107,13 +109,14 @@ class MobileNetV2(nn.Module):
         # stem: conv 3x3 stride 2, torch padding=1 (mobilenet_v2.py:7-12)
         h = conv(int(32 * self.width_mult), (3, 3), 2, padding=1,
                  dtype=self.dtype, name="stem")(x)
-        h = TorchBatchNorm(self.dtype, name="stem_bn")(h, train)
+        h = TorchBatchNorm(self.dtype, self.bn_groups, name="stem_bn")(h, train)
         h = relu6(h)
 
         low = None
         for i, (inp, oup, stride, dilation, t) in enumerate(plan):
             h = InvertedResidual(inp, oup, stride, dilation, t,
-                                 dtype=self.dtype, name=f"block_{i}")(h, train)
+                                 dtype=self.dtype, bn_groups=self.bn_groups,
+                                 name=f"block_{i}")(h, train)
             if i == 2:  # features[0:4] = stem + blocks 0..2 (:125)
                 low = h
 

@@ -42,6 +42,7 @@ class BasicBlock(nn.Module):
     first_dilation: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    bn_groups: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -49,16 +50,16 @@ class BasicBlock(nn.Module):
         h = conv(self.planes, (3, 3), self.stride, padding=self.first_dilation,
                  dilation=self.first_dilation, dtype=self.dtype,
                  kernel_init=he_normal_fan_out, name="conv1")(x)
-        h = TorchBatchNorm(self.dtype, name="bn1")(h, train)
+        h = TorchBatchNorm(self.dtype, self.bn_groups, name="bn1")(h, train)
         h = nn.relu(h)
         h = conv(self.planes, (3, 3), padding=self.dilation,
                  dilation=self.dilation, dtype=self.dtype,
                  kernel_init=he_normal_fan_out, name="conv2")(h)
-        h = TorchBatchNorm(self.dtype, name="bn2")(h, train)
+        h = TorchBatchNorm(self.dtype, self.bn_groups, name="bn2")(h, train)
         if self.downsample:
             residual = conv(self.planes, (1, 1), self.stride, dtype=self.dtype,
                             kernel_init=he_normal_fan_out, name="down_conv")(x)
-            residual = TorchBatchNorm(self.dtype, name="down_bn")(residual, train)
+            residual = TorchBatchNorm(self.dtype, self.bn_groups, name="down_bn")(residual, train)
         return nn.relu(h + residual)
 
 
@@ -69,28 +70,29 @@ class Bottleneck(nn.Module):
     first_dilation: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    bn_groups: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
         h = conv(self.planes, (1, 1), dtype=self.dtype,
                  kernel_init=he_normal_fan_out, name="conv1")(x)
-        h = TorchBatchNorm(self.dtype, name="bn1")(h, train)
+        h = TorchBatchNorm(self.dtype, self.bn_groups, name="bn1")(h, train)
         h = nn.relu(h)
         # stride lives on the 3x3 (resnet_models.py:65-66)
         h = conv(self.planes, (3, 3), self.stride, padding=self.first_dilation,
                  dilation=self.first_dilation, dtype=self.dtype,
                  kernel_init=he_normal_fan_out, name="conv2")(h)
-        h = TorchBatchNorm(self.dtype, name="bn2")(h, train)
+        h = TorchBatchNorm(self.dtype, self.bn_groups, name="bn2")(h, train)
         h = nn.relu(h)
         h = conv(self.planes * 4, (1, 1), dtype=self.dtype,
                  kernel_init=he_normal_fan_out, name="conv3")(h)
-        h = TorchBatchNorm(self.dtype, name="bn3")(h, train)
+        h = TorchBatchNorm(self.dtype, self.bn_groups, name="bn3")(h, train)
         if self.downsample:
             residual = conv(self.planes * 4, (1, 1), self.stride,
                             dtype=self.dtype, kernel_init=he_normal_fan_out,
                             name="down_conv")(x)
-            residual = TorchBatchNorm(self.dtype, name="down_bn")(residual, train)
+            residual = TorchBatchNorm(self.dtype, self.bn_groups, name="down_bn")(residual, train)
         return nn.relu(h + residual)
 
 
@@ -117,6 +119,7 @@ class ResNetBackbone(nn.Module):
     width_multiplier: float = 1.0
     deep_base: bool = False
     dtype: jnp.dtype = jnp.float32
+    bn_groups: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool) -> Tuple[jnp.ndarray, ...]:
@@ -128,22 +131,22 @@ class ResNetBackbone(nn.Module):
         if self.deep_base:
             h = conv(64, (3, 3), 2, padding=1, dtype=self.dtype,
                      kernel_init=he_normal_fan_out, name="conv1")(x)
-            h = TorchBatchNorm(self.dtype, name="bn1")(h, train)
+            h = TorchBatchNorm(self.dtype, self.bn_groups, name="bn1")(h, train)
             h = nn.relu(h)
             h = conv(64, (3, 3), padding=1, dtype=self.dtype,
                      kernel_init=he_normal_fan_out, name="conv2")(h)
-            h = TorchBatchNorm(self.dtype, name="bn2")(h, train)
+            h = TorchBatchNorm(self.dtype, self.bn_groups, name="bn2")(h, train)
             h = nn.relu(h)
             h = conv(128, (3, 3), padding=1, dtype=self.dtype,
                      kernel_init=he_normal_fan_out, name="conv3")(h)
-            h = TorchBatchNorm(self.dtype, name="bn3")(h, train)
+            h = TorchBatchNorm(self.dtype, self.bn_groups, name="bn3")(h, train)
             h = nn.relu(h)
             in_ch = 128
         else:
             in_ch = int(64 * w)
             h = conv(in_ch, (7, 7), 2, padding=3, dtype=self.dtype,
                      kernel_init=he_normal_fan_out, name="conv1")(x)
-            h = TorchBatchNorm(self.dtype, name="bn1")(h, train)
+            h = TorchBatchNorm(self.dtype, self.bn_groups, name="bn1")(h, train)
             h = nn.relu(h)
 
         # maxpool 3x3 s2 pad1 with -inf padding (torch semantics)
@@ -161,6 +164,7 @@ class ResNetBackbone(nn.Module):
                           dilation=dil,
                           first_dilation=first_dil if bi == 0 else dil,
                           downsample=down, dtype=self.dtype,
+                          bn_groups=self.bn_groups,
                           name=f"layer{li}_{bi}")(h, train)
                 in_ch = planes * expansion
             feats.append(h)

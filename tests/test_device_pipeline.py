@@ -89,6 +89,30 @@ def test_warp_query_pixels_keep_their_labels():
             assert int(np.asarray(ya)[yy, xx]) == y[src]
 
 
+@pytest.mark.parametrize("rs", [0.5, 0.7, 1.3, 2.0])
+def test_warp_scale_matches_pil_bilinear(rs):
+    """The image path of the warp must reproduce PIL BILINEAR resizes —
+    including the *antialiased* downscale (triangle support widens with
+    1/scale), which the host pipeline gets from PIL (augment.py:_resize).
+    PIL quantises filter coefficients, so allow ~1 uint8 level."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    h, w = 40, 56
+    x = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    sh, sw = int(h * rs), int(w * rs)
+    ref = np.asarray(Image.fromarray(x).resize((sw, sh), Image.BILINEAR),
+                     dtype=np.float32)
+
+    geom = (jnp.float32(rs), jnp.int32(sh), jnp.int32(sw),
+            jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+    xa, _, _ = warp_sample(jnp.asarray(x),
+                           jnp.zeros((h, w), jnp.int32),
+                           jnp.zeros((h, w), bool), (sh, sw), geom,
+                           mean_fill=(0, 0, 0), ignore_index=99)
+    np.testing.assert_allclose(np.asarray(xa), ref, atol=1.5)
+
+
 def test_photometric_stays_in_range_and_is_stochastic():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 255, (16, 16, 3)).astype(np.float32))
