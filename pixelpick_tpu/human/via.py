@@ -14,9 +14,10 @@ Bridges the AL loop's query files to browser-based human annotation:
   training path consumes;
 - :func:`serve` hosts a directory on localhost (``via/launch_via.py:59-95``).
 
-The VIA html itself is third-party (BSD, vendored by the reference); pass
-its path via ``--via_html`` or drop ``via_pixelpick_annotator.html`` next to
-the generated project JS.
+The VIA annotator html is vendored third-party software (BSD — see
+``human/assets/THIRD_PARTY.md``), exactly as the reference vendors it
+(``via/launch_via.py:53-56``): :func:`serve` stages it into the served
+directory automatically, so the browser flow works out of the box.
 """
 
 from __future__ import annotations
@@ -138,25 +139,52 @@ def coords_to_grid(size: Tuple[int, int], x_coords, y_coords) -> np.ndarray:
     return grid
 
 
+def annotator_asset_path() -> str:
+    """Path of the vendored VIA annotator html (BSD third-party asset)."""
+    return os.path.join(os.path.dirname(__file__), "assets",
+                        "via_pixelpick_annotator.html")
+
+
+def stage_annotator(directory: str,
+                    page: str = "via_pixelpick_annotator.html") -> str:
+    """Copy the vendored annotator into ``directory`` unless already there,
+    so ``serve`` delivers it next to the generated project JS."""
+    import shutil
+
+    dst = os.path.join(directory, page)
+    if not os.path.isfile(dst):
+        shutil.copyfile(annotator_asset_path(), dst)
+    return dst
+
+
 def serve(directory: str, host: str = "localhost", port: int = 8001,
           open_browser: bool = True,
-          page: str = "via_pixelpick_annotator.html") -> None:
-    """Serve ``directory`` and (optionally) open the annotator page."""
+          page: str = "via_pixelpick_annotator.html", block: bool = True):
+    """Serve ``directory`` (with the annotator staged into it) and
+    optionally open the annotator page. ``block=False`` starts the server
+    on a daemon thread and returns the ``HTTPServer`` (tests; call
+    ``.shutdown()`` when done)."""
     import functools
     import threading
     import webbrowser
     from http.server import HTTPServer, SimpleHTTPRequestHandler
 
+    stage_annotator(directory, page)
     handler = functools.partial(SimpleHTTPRequestHandler, directory=directory)
     httpd = HTTPServer((host, port), handler)
     if open_browser:
         threading.Timer(
-            1.0, lambda: webbrowser.open(f"http://{host}:{port}/{page}")).start()
+            1.0, lambda: webbrowser.open(
+                f"http://{host}:{httpd.server_port}/{page}")).start()
+    print(f"Serving {directory} at http://{host}:{httpd.server_port}/{page}")
+    if not block:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd
     try:
-        print(f"Serving {directory} at http://{host}:{port}/{page}")
         httpd.serve_forever()
     finally:
         httpd.shutdown()
+    return None
 
 
 def main():

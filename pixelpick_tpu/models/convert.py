@@ -21,6 +21,7 @@ forward passes are compared (``tests/test_model_parity.py``).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import numpy as np
@@ -169,6 +170,47 @@ def load_pretrained_ckpt(params: dict, batch_stats: dict,
     return params, batch_stats
 
 
+# Upstream weight URLs the reference consumes: MobileNetV2 ImageNet
+# (networks/mobilenet_v2.py:140), torchvision ResNets (the files
+# networks/encoder.py:4-15 expects under pretrained/), MoCo-v2 800ep.
+FETCH_URLS = {
+    "mobilenet_v2": "http://jeff95.me/models/mobilenet_v2-6a65762b.pth",
+    "resnet18": "https://download.pytorch.org/models/resnet18-5c106cde.pth",
+    "resnet34": "https://download.pytorch.org/models/resnet34-333f7ec4.pth",
+    "resnet50": "https://download.pytorch.org/models/resnet50-19c8e357.pth",
+    "resnet101": "https://download.pytorch.org/models/resnet101-5d3b4d8f.pth",
+    "moco_v2": ("https://dl.fbaipublicfiles.com/moco/moco_checkpoints/"
+                "moco_v2_800ep/moco_v2_800ep_pretrain.pth.tar"),
+}
+
+
+def fetch_weights(name: str, cache_dir: str = "") -> str:
+    """Download the named upstream torch checkpoint into the cache dir and
+    return its path. Egress-gated: fails with a clear message (exit 3) when
+    the environment has no network access."""
+    import urllib.error
+    import urllib.request
+
+    url = FETCH_URLS[name]
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/pixelpick_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    dst = os.path.join(cache_dir, url.rsplit("/", 1)[-1])
+    if os.path.isfile(dst):
+        print(f"using cached {dst}")
+        return dst
+    print(f"fetching {url} -> {dst}")
+    try:
+        urllib.request.urlretrieve(url, dst + ".part")
+    except (urllib.error.URLError, OSError) as e:
+        raise SystemExit(
+            f"could not fetch {url}: {e}\n"
+            "This environment has no egress. Download the file elsewhere, "
+            f"place it at {dst}, and re-run — or pass the .pth path "
+            "directly as SRC.") from e
+    os.replace(dst + ".part", dst)
+    return dst
+
+
 def main():
     """CLI: convert a torch checkpoint to a --pretrained_ckpt msgpack.
 
@@ -176,6 +218,12 @@ def main():
       python -m pixelpick_tpu.models.convert IN.pth OUT.ckpt \
           --kind {mobilenet_v2,deeplab,resnet,fpn} [--n_layers 50]
           [--weight_type {supervised,moco_v2}] [--n_classes 11]
+
+    One-liner fetch+convert (reference get_pretrained_model.sh /
+    mobilenet_v2.py:139-147 equivalent; egress-gated):
+      python -m pixelpick_tpu.models.convert --fetch mobilenet_v2 OUT.ckpt
+      python -m pixelpick_tpu.models.convert --fetch resnet50 OUT.ckpt
+      python -m pixelpick_tpu.models.convert --fetch moco_v2 OUT.ckpt
     """
     from argparse import ArgumentParser
 
@@ -183,15 +231,29 @@ def main():
     import torch
 
     parser = ArgumentParser("torch -> pixelpick-tpu checkpoint converter")
-    parser.add_argument("src")
+    parser.add_argument("src", nargs="?", default="")
     parser.add_argument("dst")
-    parser.add_argument("--kind", required=True,
-                        choices=["mobilenet_v2", "deeplab", "resnet", "fpn"])
+    parser.add_argument("--fetch", default="", choices=[""] + list(FETCH_URLS),
+                        help="download this upstream checkpoint instead of "
+                             "reading SRC (cached in ~/.cache/pixelpick_tpu)")
+    parser.add_argument("--kind", default="",
+                        choices=["", "mobilenet_v2", "deeplab", "resnet", "fpn"])
     parser.add_argument("--n_layers", type=int, default=50)
     parser.add_argument("--n_classes", type=int, default=11)
     parser.add_argument("--weight_type", default="supervised",
                         choices=["supervised", "moco_v2"])
     args = parser.parse_args()
+
+    if args.fetch:
+        args.src = fetch_weights(args.fetch)
+        if not args.kind:  # infer: resnet* -> resnet, moco_v2 -> resnet
+            args.kind = "mobilenet_v2" if args.fetch == "mobilenet_v2" else "resnet"
+        if args.fetch == "moco_v2":
+            args.weight_type = "moco_v2"
+        elif args.fetch.startswith("resnet"):
+            args.n_layers = int(args.fetch[len("resnet"):])
+    if not args.src or not args.kind:
+        parser.error("pass SRC and --kind, or --fetch NAME")
 
     blob = torch.load(args.src, map_location="cpu", weights_only=False)
     state = blob.get("state_dict", blob.get("model", blob)) \

@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# Accuracy parity gate: CamVid MobileNetV2, margin sampling, 20 px/img
+# -> 50.8 +/- 0.2 mIoU (reference README.md:63; BASELINE.md CamVid table).
+#
+# Runs the moment real data + pretrained weights are available:
+#   CAMVID=/path/to/camvid ./scripts/parity-gate.sh          # full gate
+#   CAMVID=... SEEDS="0 1 2 3 4" ./scripts/parity-gate.sh    # 5-seed protocol
+#
+# Expects under $CAMVID: train/ trainannot/ val/ valannot/ (SegNet-CamVid
+# layout, 367 train / 233 val masks 0..10 + 11=void, 360x480 — the layout
+# datasets/camvid.py:27-32 reads). Pretrained MobileNetV2 ImageNet weights
+# are fetched+converted automatically (egress-gated; pre-place the .pth in
+# ~/.cache/pixelpick_tpu/ when offline — see models/convert.py).
+#
+# The run config IS the bench config: bf16, batch 48 with --bn_group_size 4
+# (ghost BN == the reference's single-device bs-4 BN statistics), device
+# pipeline. Override with GATE_ARGS. Budget: 20 px = 2 rounds of 10 px.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+CAMVID="${CAMVID:-/datasets/camvid}"
+SEEDS="${SEEDS:-0}"
+TARGET="${TARGET:-50.8}"
+TOL="${TOL:-0.2}"
+CKPT_DIR="${CKPT_DIR:-./checkpoints}"
+GATE_ARGS="${GATE_ARGS:---precision bf16 --batch_size 48 --bn_group_size 4 --device_augment}"
+
+if [ ! -d "$CAMVID/train" ] || [ ! -d "$CAMVID/trainannot" ]; then
+  echo "parity-gate: CamVid not found at $CAMVID (need train/ trainannot/" \
+       "val/ valannot/). Set CAMVID=/path/to/camvid." >&2
+  exit 2
+fi
+
+MNV2="$CKPT_DIR/mobilenet_v2_imagenet.ckpt"
+if [ ! -f "$MNV2" ]; then
+  mkdir -p "$CKPT_DIR"
+  python -m pixelpick_tpu.models.convert --fetch mobilenet_v2 "$MNV2"
+fi
+
+mious=()
+for seed in $SEEDS; do
+  echo "=== parity run, seed $seed ==="
+  python main_al.py --dataset_name cv --dir_datasets "$(dirname "$CAMVID")" \
+    --n_pixels_by_us 10 --max_budget 20 -qs margin_sampling \
+    --seed "$seed" --pretrained_ckpt "$MNV2" \
+    --dir_root . $GATE_ARGS
+  # best val mIoU of the final round (the 20-px model) from its log
+  last_log=$(ls -d "$CKPT_DIR"/cv_deeplab_margin_sampling_10_*"${seed}"*/1_query/log_val.txt | tail -1)
+  miou=$(python - "$last_log" <<'EOF'
+import sys
+rows = [l.split(",") for l in open(sys.argv[1]) if not l.startswith("epoch")]
+print(max(float(r[1]) for r in rows) * 100)
+EOF
+  )
+  echo "seed $seed: best mIoU $miou"
+  mious+=("$miou")
+done
+
+python - "$TARGET" "$TOL" "${mious[@]}" <<'EOF'
+import sys
+target, tol = float(sys.argv[1]), float(sys.argv[2])
+vals = [float(v) for v in sys.argv[3:]]
+mean = sum(vals) / len(vals)
+print(f"parity gate: mean mIoU {mean:.2f} over {len(vals)} seed(s); "
+      f"target {target} +/- {tol}")
+if mean < target - tol:
+    print("PARITY GATE FAILED")
+    sys.exit(1)
+print("PARITY GATE PASSED")
+EOF

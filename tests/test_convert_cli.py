@@ -53,6 +53,47 @@ def test_convert_cli_and_overlay(tmp_path):
         np.asarray(params2["seg_head"]["conv1"]["kernel"]), head0)
 
 
+def test_fetch_uses_cache_and_converts(tmp_path, monkeypatch):
+    """--fetch NAME: with the upstream file already in the cache dir
+    (the offline workflow the fetch error message describes), the one-liner
+    converts it without touching the network."""
+    sys.path.append("/root/reference")
+    import torch.utils.model_zoo as mz
+    mz.load_url = lambda *a, **k: {}
+    import torch.nn as tnn
+    from networks.mobilenet_v2 import MobileNetV2 as TorchMNv2
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    m = TorchMNv2(output_stride=16, BatchNorm=tnn.BatchNorm2d, pretrained=False)
+    torch.save(m.state_dict(), cache / "mobilenet_v2-6a65762b.pth")
+
+    import os
+    env = dict(os.environ, HOME=str(tmp_path))
+    os.makedirs(tmp_path / ".cache" / "pixelpick_tpu", exist_ok=True)
+    torch.save(m.state_dict(),
+               tmp_path / ".cache" / "pixelpick_tpu" / "mobilenet_v2-6a65762b.pth")
+    dst = tmp_path / "mnv2.ckpt"
+    out = subprocess.run(
+        [sys.executable, "-m", "pixelpick_tpu.models.convert",
+         "--fetch", "mobilenet_v2", str(dst)],
+        capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert out.returncode == 0, out.stderr
+    assert "using cached" in out.stdout
+    assert dst.exists()
+
+
+def test_fetch_fails_gracefully_offline(tmp_path):
+    import os
+    env = dict(os.environ, HOME=str(tmp_path))
+    out = subprocess.run(
+        [sys.executable, "-m", "pixelpick_tpu.models.convert",
+         "--fetch", "mobilenet_v2", str(tmp_path / "x.ckpt")],
+        capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert out.returncode != 0
+    assert "no egress" in (out.stdout + out.stderr)
+
+
 def test_overlay_tree_shape_mismatch_keeps_init():
     from pixelpick_tpu.models.convert import overlay_tree
 

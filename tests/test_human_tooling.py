@@ -66,6 +66,32 @@ def test_via_roundtrip_to_labelled_pkl():
     assert out2 == {}
 
 
+def test_serve_delivers_vendored_annotator_and_project_js(tmp_path):
+    """End-to-end browser flow plumbing: serve() must stage the vendored VIA
+    annotator html (BSD asset, human/assets/) into the served directory and
+    deliver it byte-for-byte alongside the generated project JS — the
+    reference's launch_via.py:53-95 behaviour."""
+    import urllib.request
+    from pixelpick_tpu.human.via import annotator_asset_path, serve
+
+    enc = _queries_dict()
+    write_project_js(build_via_project(enc, {"A": "sky"}),
+                     str(tmp_path / "via_debug_project.js"))
+    httpd = serve(str(tmp_path), port=0, open_browser=False, block=False)
+    try:
+        base = f"http://localhost:{httpd.server_port}"
+        page = urllib.request.urlopen(
+            f"{base}/via_pixelpick_annotator.html", timeout=10).read()
+        with open(annotator_asset_path(), "rb") as f:
+            assert page == f.read()
+        assert b"draw_pixelpick" in page  # the PixelPick overlay hooks
+        js = urllib.request.urlopen(
+            f"{base}/via_debug_project.js", timeout=10).read()
+        assert js.startswith(b"_via_dp = ")
+    finally:
+        httpd.shutdown()
+
+
 def test_coords_to_grid():
     g = coords_to_grid((4, 5), x_coords=[1, 3], y_coords=[0, 2])
     assert g[0, 1] and g[2, 3] and g.sum() == 2
