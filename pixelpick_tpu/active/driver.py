@@ -61,15 +61,22 @@ class ALModel:
                              mode="train_dense" if fully_sup else "train",
                              shuffle=True, n_workers=args.n_workers,
                              seed=args.seed, human_labels=human_labels)
+        # variable-size datasets (VOC): bucket val/query shapes so the whole
+        # sweep compiles ≤2 XLA programs per loader instead of one per image
+        # shape (SURVEY §7 hard-part 5)
+        bucket = args.stride_total \
+            if getattr(self.dataset_val, "variable_size", False) else None
         self.loader_query = Loader(self.dataset_query, args.pool_batch_size,
                                    mode="query", shuffle=False,
                                    n_workers=args.n_workers, seed=args.seed,
-                                   human_labels=human_labels)
+                                   human_labels=human_labels,
+                                   bucket_stride=bucket,
+                                   pad_label=args.ignore_index)
         val_bs = getattr(args, "val_batch_size", 1)
-        if args.dataset_name == "voc":
-            val_bs = 1  # variable image sizes
         self.loader_val = Loader(self.dataset_val, val_bs, mode="val",
-                                 shuffle=False, n_workers=args.n_workers)
+                                 shuffle=False, n_workers=args.n_workers,
+                                 bucket_stride=bucket,
+                                 pad_label=args.ignore_index)
 
         self.model = get_model(args)
         self.mesh = get_mesh(args)
@@ -223,7 +230,13 @@ class ALModel:
         score = RunningScore(args.n_classes)
         last = None
         for batch in self.loader_val:
-            if args.dataset_name == "voc":
+            if self.loader_val.bucket_stride is not None:
+                # bucketed batches are already stride-padded; pad labels are
+                # the ignore index, so the confusion matrix drops them
+                feed = {k: v for k, v in batch.items()
+                        if k not in ("index", "hw")}
+                hist, pred = eval_fn(state.params, state.batch_stats, feed)
+            elif args.dataset_name == "voc":
                 batch, valid_hw = _pad_to_stride(batch, args.stride_total)
                 hist, pred = eval_fn(state.params, state.batch_stats, batch,
                                      valid_hw=valid_hw)

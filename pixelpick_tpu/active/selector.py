@@ -56,19 +56,36 @@ class QuerySelector:
         ds = self.loader.dataset
         for batch in self.loader:
             rng, sub = jax.random.split(rng)
-            indices, dev_stats = self._score_fn(params, batch_stats, batch, sub)
+            score_in = {k: v for k, v in batch.items()
+                        if k not in ("index", "hw")}
+            indices, dev_stats = self._score_fn(params, batch_stats,
+                                                score_in, sub)
             indices = np.asarray(indices)  # (B, n_pixels) flat
             bsz = indices.shape[0]
+            valid_rows = []
             for b in range(bsz):
-                i = sample_idx + b
+                # bucketed loaders carry dataset indices (-1 = batch-fill
+                # duplicate) and per-image true sizes; fixed-size loaders
+                # yield in dataset order
+                i = int(batch["index"][b]) if "index" in batch \
+                    else sample_idx + b
+                if i < 0:
+                    continue
+                valid_rows.append(b)
                 h, w = batch["x"].shape[1:3]
                 q = np.zeros(h * w, bool)
                 q[indices[b]] = True
                 q = q.reshape(h, w)
+                if "hw" in batch:  # crop bucket padding back off
+                    h, w = (int(v) for v in batch["hw"][b])
+                    q = q[:h, :w]
                 n_pixels_total += int(q.sum())
                 dict_queries.update(codec.encode_query(
                     ds.list_inputs[i], (h, w), q))
             if not human_labels:
+                if len(valid_rows) != bsz:
+                    dev_stats = {k: np.asarray(v)[valid_rows]
+                                 for k, v in dev_stats.items()}
                 stats.update_batch(dev_stats)
             sample_idx += bsz
 

@@ -26,12 +26,37 @@ def collate(samples: List[dict]) -> Dict[str, np.ndarray]:
     return out
 
 
+def pad_sample_to(sample: dict, hw, pad_label: int) -> dict:
+    """Pad a variable-size val/query sample to a bucket shape (bottom/right).
+
+    x is edge-padded (the reference reflect-pads only to a stride multiple,
+    ``eval.py:49-60``; bucket pads can exceed the image size, where reflect
+    is undefined — the pad region is masked out of every metric anyway:
+    labels are padded with the ignore index so the confusion matrix drops
+    them (utils/metrics.py:confusion_matrix) and ``excluded`` is padded True
+    so acquisition never picks a pad pixel (acquisition.py fill)."""
+    h, w = sample["x"].shape[:2]
+    ph, pw = hw[0] - h, hw[1] - w
+    if ph == 0 and pw == 0:
+        return sample
+    out = dict(sample)
+    out["x"] = np.pad(sample["x"], ((0, ph), (0, pw), (0, 0)), mode="edge")
+    if "y" in sample:
+        out["y"] = np.pad(sample["y"], ((0, ph), (0, pw)),
+                          constant_values=pad_label)
+    if "excluded" in sample:
+        out["excluded"] = np.pad(sample["excluded"], ((0, ph), (0, pw)),
+                                 constant_values=True)
+    return out
+
+
 class Loader:
     """mode: 'train' | 'train_dense' | 'val' | 'query'."""
 
     def __init__(self, dataset, batch_size: int, mode: str = "train",
                  shuffle: bool = False, n_workers: int = 4, seed: int = 0,
-                 human_labels: bool = False, prefetch: int = 2):
+                 human_labels: bool = False, prefetch: int = 2,
+                 bucket_stride: int = None, pad_label: int = 255):
         self.dataset = dataset
         self.batch_size = batch_size
         self.mode = mode
@@ -40,6 +65,9 @@ class Loader:
         self.seed = seed
         self.human_labels = human_labels
         self.prefetch = prefetch
+        self.bucket_stride = bucket_stride
+        self.pad_label = pad_label
+        self._buckets = None  # lazy: [(bucket_hw, [indices...]), ...]
         self.epoch = 0
         n = len(dataset)
         self.drop_last = (n % batch_size) == 1  # utils/utils.py:107
@@ -49,9 +77,34 @@ class Loader:
         self._batch_pool = ThreadPoolExecutor(max_workers=max(1, prefetch))
 
     def __len__(self) -> int:
+        if self.bucket_stride is not None:
+            return sum(-(-len(idxs) // self.batch_size)
+                       for _, idxs in self._bucket_plan())
         n = len(self.dataset)
         full, rem = divmod(n, self.batch_size)
         return full + (0 if (self.drop_last or rem == 0) else 1)
+
+    def _bucket_plan(self):
+        """Group dataset indices into ≤2 shape buckets (landscape/portrait),
+        each padded to its group max rounded up to ``bucket_stride`` — so a
+        variable-size val/query sweep compiles ≤2 XLA programs instead of
+        one per distinct image shape (SURVEY §7 hard-part 5; the reference
+        pays a batch-1 forward per image, ``eval.py:49-60``)."""
+        if self._buckets is None:
+            s = self.bucket_stride
+            n = len(self.dataset)
+            hws = [tuple(self.dataset.sample_hw(i, self.mode))
+                   for i in range(n)]
+            groups = {}
+            for i, (h, w) in enumerate(hws):
+                groups.setdefault(h >= w, []).append(i)
+            buckets = []
+            for _, idxs in sorted(groups.items()):
+                bh = -(-max(hws[i][0] for i in idxs) // s) * s
+                bw = -(-max(hws[i][1] for i in idxs) // s) * s
+                buckets.append(((bh, bw), idxs))
+            self._buckets = buckets
+        return self._buckets
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -70,16 +123,50 @@ class Loader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            np.random.RandomState(self.seed * 100003 + self.epoch).shuffle(order)
-        batches = [order[i:i + self.batch_size]
-                   for i in range(0, n, self.batch_size)]
-        if batches and len(batches[-1]) != self.batch_size and self.drop_last:
-            batches.pop()
+        if self.bucket_stride is not None:
+            # bucketed val/query: batches carry their dataset indices and
+            # per-image true sizes; nothing is dropped
+            batches = []
+            for hw, idxs in self._bucket_plan():
+                for i in range(0, len(idxs), self.batch_size):
+                    batches.append((np.asarray(idxs[i:i + self.batch_size]),
+                                    hw))
 
-        def make_batch(idxs):
-            return collate(list(self._pool.map(self._fetch, idxs)))
+            def make_batch(idxs_hw):
+                idxs, hw = idxs_hw
+                samples = list(self._pool.map(self._fetch, idxs))
+                true_hw = [s["x"].shape[:2] for s in samples]
+                padded = [pad_sample_to(s, hw, self.pad_label)
+                          for s in samples]
+                index = list(idxs)
+                # fill partial batches with fully-masked duplicates
+                # (index=-1, labels=ignore, excluded=True) so every bucket
+                # compiles exactly one batch shape; consumers skip index<0
+                while len(padded) < self.batch_size:
+                    dup = dict(padded[-1])
+                    if "y" in dup:
+                        dup["y"] = np.full_like(dup["y"], self.pad_label)
+                    if "excluded" in dup:
+                        dup["excluded"] = np.ones_like(dup["excluded"])
+                    padded.append(dup)
+                    true_hw.append((0, 0))
+                    index.append(-1)
+                batch = collate(padded)
+                batch["index"] = np.asarray(index, np.int32)
+                batch["hw"] = np.asarray(true_hw, np.int32)
+                return batch
+        else:
+            order = np.arange(n)
+            if self.shuffle:
+                np.random.RandomState(
+                    self.seed * 100003 + self.epoch).shuffle(order)
+            batches = [order[i:i + self.batch_size]
+                       for i in range(0, n, self.batch_size)]
+            if batches and len(batches[-1]) != self.batch_size and self.drop_last:
+                batches.pop()
+
+            def make_batch(idxs):
+                return collate(list(self._pool.map(self._fetch, idxs)))
 
         # simple pipelined prefetch: keep `prefetch` batches in flight
         futures = []

@@ -61,6 +61,7 @@ class VOC2012Segmentation(SegDatasetBase):
         super().__init__(args, val=val, query=query)
         self.size_base = args.size_base
         self.size_crop = (args.size_crop, args.size_crop)
+        self.crop_size = self.size_crop  # train-batch shape (driver init)
         self.stride_total = args.stride_total
         self.jitter = (0.1, 0.1, 0.1, 0.1)  # voc.py:176
 
@@ -130,6 +131,17 @@ class VOC2012Segmentation(SegDatasetBase):
         return self.n_pixels_total
 
     # --------------------------- samples ---------------------------
+
+    variable_size = True  # images differ in size -> bucketed val/query
+
+    def sample_hw(self, i: int, mode: str):
+        """True (h, w) a val/query sample will have, without decoding pixels
+        (PIL reads only the header) — drives Loader shape bucketing."""
+        with Image.open(self.list_inputs[i]) as im:
+            w, h = im.size
+        if mode == "query":
+            return compute_base_size(h, w, self.size_base)
+        return h, w
 
     def _base_resized(self, i: int):
         x = Image.open(self.list_inputs[i]).convert("RGB")

@@ -24,10 +24,39 @@ def make_synthetic_camvid(root, n_train=8, n_test=4, hw=(48, 64), n_classes=11,
     return root
 
 
-def synthetic_args(tmp_path, **overrides):
+CLASS_COLOURS = np.array(
+    [[(i * 23 + 11) % 256, (i * 97 + 64) % 256, (i * 151 + 128) % 256]
+     for i in range(11)], dtype=np.int32)
+
+
+def make_learnable_camvid(root, n_train=8, n_test=4, hw=(48, 64), n_classes=11,
+                          seed=0, noise=8.0):
+    """Synthetic CamVid layout where class identity is recoverable from pixel
+    colour: each pixel's RGB is its class's base colour plus Gaussian noise.
+    Labels are a background class plus random rectangles, so small pixel
+    budgets miss classes — giving the AL learning curve room to rise."""
+    rng = np.random.default_rng(seed)
+    for mode, n in (("train", n_train), ("test", n_test)):
+        os.makedirs(f"{root}/{mode}", exist_ok=True)
+        os.makedirs(f"{root}/{mode}annot", exist_ok=True)
+        for i in range(n):
+            lab = np.full(hw, i % n_classes, np.uint8)
+            for _ in range(5):
+                c = rng.integers(0, n_classes)
+                h0 = rng.integers(0, hw[0] - 8)
+                w0 = rng.integers(0, hw[1] - 8)
+                lab[h0:h0 + rng.integers(8, 25), w0:w0 + rng.integers(8, 25)] = c
+            img = CLASS_COLOURS[lab] + rng.normal(0, noise, (*hw, 3))
+            img = np.clip(img, 0, 255).astype(np.uint8)
+            Image.fromarray(img).save(f"{root}/{mode}/{i:03d}.png")
+            Image.fromarray(lab).save(f"{root}/{mode}annot/{i:03d}.png")
+    return root
+
+
+def synthetic_args(tmp_path, maker=None, **overrides):
     from pixelpick_tpu.config import default_args
 
-    root = make_synthetic_camvid(str(tmp_path / "camvid"))
+    root = (maker or make_synthetic_camvid)(str(tmp_path / "camvid"))
     defaults = dict(
         dataset_name="cv",
         dir_dataset=root,
