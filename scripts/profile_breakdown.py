@@ -97,6 +97,7 @@ def main():
     dt = timeit(lambda i, s: step(s, batch, jax.random.fold_in(key, i))[0],
                 state)
     out["train_step"] = dt
+    print("train_step", round(dt * 1e3, 2), flush=True)
 
     # ---- forwards
     @jax.jit
@@ -113,11 +114,13 @@ def main():
 
     c0 = jnp.zeros(())
     out["fwd_os"] = timeit(lambda i, c: fwd_os(params, batch_stats, x, c), c0)
+    print("fwd_os", round(out["fwd_os"] * 1e3, 2), flush=True)
     out["fwd_fullres"] = timeit(
         lambda i, c: fwd_full(params, batch_stats, x, c), c0)
+    print("fwd_fullres", round(out["fwd_fullres"] * 1e3, 2), flush=True)
 
     # ---- backbone only
-    bb = MobileNetV2(dtype=jnp.bfloat16, output_stride=args.output_stride)
+    bb = MobileNetV2(dtype=jnp.bfloat16, output_stride=16)
     bb_params = params["backbone"]
     bb_stats = batch_stats["backbone"]
 
@@ -174,6 +177,56 @@ def main():
             lambda i, c: dw_pallas(xd, c), c0)
     except Exception as e:
         out["dw_pallas_error"] = str(e)[:120]
+
+
+    # ---- phase 2: where does the backward go?
+    def mean_loss(p, bs, xx):
+        o = model.apply({"params": p, "batch_stats": bs}, xx,
+                        train=False, upsample=False)
+        return jnp.mean(o["pred"].astype(jnp.float32))
+
+    gfull = jax.jit(jax.grad(lambda p, bs, xx, c: mean_loss(p, bs, dep(xx, c))))
+
+    def carry_scalar(tree):
+        return jax.tree.leaves(tree)[0].ravel()[0]
+
+    out["grad_full_evalbn"] = timeit(
+        lambda i, c: carry_scalar(gfull(params, batch_stats, x, c)), c0,
+        windows=(6, 24))
+    print("grad_full_evalbn", round(out["grad_full_evalbn"] * 1e3, 2), flush=True)
+
+    @jax.jit
+    def fwd_trainbn(p, bs, xx, c):
+        o, mut = model.apply({"params": p, "batch_stats": bs}, dep(xx, c),
+                             train=True, upsample=False,
+                             rngs={"dropout": jax.random.PRNGKey(0)},
+                             mutable=["batch_stats"])
+        # keep the BN-stat outputs live (tiny non-zero factor defeats DCE)
+        keep = sum(l.astype(jnp.float32).ravel()[0]
+                   for l in jax.tree.leaves(mut)) * 1e-30
+        return jnp.mean(o["pred"].astype(jnp.float32)) + keep
+
+    out["fwd_trainbn"] = timeit(
+        lambda i, c: fwd_trainbn(params, batch_stats, x, c), c0)
+    print("fwd_trainbn", round(out["fwd_trainbn"] * 1e3, 2), flush=True)
+
+    gbb = jax.jit(jax.grad(lambda p, xx, c: jnp.mean(bb.apply(
+        {"params": p, "batch_stats": bb_stats}, dep(xx, c),
+        train=False)[-1].astype(jnp.float32))))
+    out["grad_backbone"] = timeit(
+        lambda i, c: carry_scalar(gbb(bb_params, x, c)), c0,
+        windows=(6, 24))
+    print("grad_backbone", round(out["grad_backbone"] * 1e3, 2), flush=True)
+
+    def dw_xla_w(x, w, c):
+        y = lax.conv_general_dilated(
+            dep(x, c), w, (2, 2), "VALID", feature_group_count=96,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.mean(y.astype(jnp.float32))
+
+    gdwx = jax.jit(jax.grad(lambda xx, c: dw_xla_w(xx, wg, c)))
+    out["dw_xla_bwd_dx"] = timeit(lambda i, c: carry_scalar(gdwx(xd, c)), c0)
+    print("dw_xla_bwd_dx", round(out["dw_xla_bwd_dx"] * 1e3, 2), flush=True)
 
     print(json.dumps({k: (round(v * 1e3, 2) if isinstance(v, float) else v)
                       for k, v in out.items()}, indent=1))
