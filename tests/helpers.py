@@ -30,23 +30,43 @@ CLASS_COLOURS = np.array(
 
 
 def make_learnable_camvid(root, n_train=8, n_test=4, hw=(48, 64), n_classes=11,
-                          seed=0, noise=8.0):
+                          seed=0, noise=8.0, grid=(4, 4),
+                          confusable_delta=14.0):
     """Synthetic CamVid layout where class identity is recoverable from pixel
     colour: each pixel's RGB is its class's base colour plus Gaussian noise.
-    Labels are a background class plus random rectangles, so small pixel
-    budgets miss classes — giving the AL learning curve room to rise."""
+
+    Two properties make this an honest active-learning benchmark:
+
+    - Labels tile the image with a random permutation of ALL classes (plus
+      random extras), so every image has a near-identical class histogram —
+      the model's global-context branch (ASPP image pooling) carries no
+      image-identity signal and the only way to fit the labelled pixels
+      across images is the local colour→class mapping, which transfers to
+      val.
+    - The last two classes are CONFUSABLE: their base colours differ by
+      only ``confusable_delta`` per channel against ``noise``-sized jitter,
+      so their colour distributions overlap. A trained model is genuinely
+      low-margin on those tiles; margin sampling concentrates labels on
+      that decision boundary while uniform-random spreads them — the
+      textbook case where uncertainty sampling is more label-efficient."""
     rng = np.random.default_rng(seed)
+    colours = CLASS_COLOURS.copy().astype(np.float64)
+    colours[n_classes - 1] = colours[n_classes - 2] + confusable_delta
+    gh, gw = grid
+    th, tw = hw[0] // gh, hw[1] // gw
     for mode, n in (("train", n_train), ("test", n_test)):
         os.makedirs(f"{root}/{mode}", exist_ok=True)
         os.makedirs(f"{root}/{mode}annot", exist_ok=True)
         for i in range(n):
-            lab = np.full(hw, i % n_classes, np.uint8)
-            for _ in range(5):
-                c = rng.integers(0, n_classes)
-                h0 = rng.integers(0, hw[0] - 8)
-                w0 = rng.integers(0, hw[1] - 8)
-                lab[h0:h0 + rng.integers(8, 25), w0:w0 + rng.integers(8, 25)] = c
-            img = CLASS_COLOURS[lab] + rng.normal(0, noise, (*hw, 3))
+            classes = np.concatenate([
+                rng.permutation(n_classes),
+                rng.integers(0, n_classes, gh * gw - n_classes)])
+            rng.shuffle(classes)
+            lab = np.zeros(hw, np.uint8)
+            for t, c in enumerate(classes):
+                r, col = divmod(t, gw)
+                lab[r * th:(r + 1) * th, col * tw:(col + 1) * tw] = c
+            img = colours[lab] + rng.normal(0, noise, (*hw, 3))
             img = np.clip(img, 0, 255).astype(np.uint8)
             Image.fromarray(img).save(f"{root}/{mode}/{i:03d}.png")
             Image.fromarray(lab).save(f"{root}/{mode}annot/{i:03d}.png")
