@@ -80,13 +80,14 @@ N_EPOCHS = 50
 K = 128
 
 
-def _setup(precision, hw):
+def _setup(precision, hw, bn_group_size=0):
     import jax
 
     from pixelpick_tpu.config import default_args
     from pixelpick_tpu.models import get_model, init_model
 
-    args = default_args("cv", write_files=False, precision=precision)
+    args = default_args("cv", write_files=False, precision=precision,
+                        bn_group_size=bn_group_size)
     model = get_model(args)
     params, batch_stats = init_model(model, jax.random.PRNGKey(0), hw)
     return args, model, params, batch_stats
@@ -191,7 +192,10 @@ def main():
     # imgs/s nearly flat in batch size on this chip (the step is
     # compute-bound, ~380-400 imgs/s at 360x480); bs48 amortises dispatch
     # without nearing the bs96 HBM ceiling
-    args, model, params, stats = _setup("bf16", hw)
+    # bn_group_size=4: the timed step carries the reference's bs-4 BN
+    # statistics semantics (ghost BN), so the headline config IS the
+    # accuracy-parity config, not a faster-but-different variant
+    args, model, params, stats = _setup("bf16", hw, bn_group_size=4)
     value, train_ips, query_ips = _measure_round(
         args, model, params, stats, train_B=48, pool_B=32, hw=hw,
         dense=False, device_batches=True)
@@ -203,6 +207,7 @@ def main():
         "vs_baseline": None,
         "detail": {
             "tpu_native": {"precision": "bf16", "batch": 48,
+                           "bn_group_size": 4,
                            "train_imgs_per_sec": round(train_ips, 2),
                            "query_imgs_per_sec": round(query_ips, 2)},
         },

@@ -189,12 +189,31 @@ def enable_compile_cache() -> None:
         pass
 
 
+def configure_tpu_rng() -> None:
+    """On TPU, use the hardware ``rbg`` PRNG for in-model randomness.
+
+    threefry generates random bits in VPU ALU ops; the decoder's
+    Dropout(0.5) alone draws ~132M bits per bs-48 step, measured at
+    ~19 ms/step (126 -> 107 ms, +18% train throughput) on v5e. rbg is a
+    counter-based hardware generator with the same jax.random API.
+    CPU (tests) keeps threefry so test behaviour is backend-stable.
+    """
+    import jax
+
+    try:
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
+
+
 def finalize_args(args: Namespace, write_files: bool = True) -> Namespace:
     """Apply derived fields, dataset blocks, YAML overlay, naming and seeding.
 
     Mirrors reference ``args.py:59-205`` (parse_args body).
     """
     enable_compile_cache()
+    configure_tpu_rng()
     if getattr(args, "pallas_dw", False):
         from pixelpick_tpu.models.layers import set_depthwise_impl
         set_depthwise_impl("pallas")

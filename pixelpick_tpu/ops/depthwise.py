@@ -1,21 +1,28 @@
-"""Pallas depthwise 3x3 convolution (TPU kernel, opt-in).
+"""Pallas depthwise 3x3 convolution (TPU kernel, opt-in, experimental).
 
 Depthwise convolutions never touch the MXU — they are 9 shifted
-multiply-accumulates per channel, i.e. pure VPU + HBM-bandwidth work. XLA's
-grouped-conv lowering measured 280–470 GB/s effective bandwidth on our
-MobileNetV2 shapes (see git history); this kernel streams whole padded
-images through VMEM and performs the 9 taps as vector MACs, aiming at the
-bandwidth roof.
+multiply-accumulates per channel, i.e. pure VPU + HBM-bandwidth work. This
+kernel row-tiles each image with halo windows (manual HBM→VMEM DMA, since
+Blocked specs cannot express overlapping reads) and performs the 9 taps as
+unit-stride vector MACs; it handles any image size and dilation at
+stride 1. stride 2 falls back to XLA (Mosaic vector slices are unit-stride
+only; a space-to-depth phase-split variant is future work).
 
-Forward is a Pallas kernel (grid over the batch, with an XLA fallback for
-images exceeding VMEM); backward is a ``jax.custom_vjp`` computed
+**Measured verdict (honest slope-drain timing, v5e)**: numerics are exact,
+but inside the full bf16 train step the Pallas path is ~2x SLOWER than
+XLA's grouped-conv lowering (212 vs 108 ms/step at bs48) — the standalone
+kernel pays pad materialisation, non-pipelined DMA and broken
+elementwise-fusion chains that XLA's fused conv avoids. XLA therefore
+stays the default; this kernel is kept as a correct, tested substrate for
+a future fused inverted-residual block.
+
+Forward is the Pallas kernel; backward is a ``jax.custom_vjp`` computed
 with regular XLA ops (transposed dilated conv for dx, tap-reduction einsum
 for dw) — exactness over cleverness for the bwd.
 
-Used by MobileNetV2 when ``pixelpick_tpu.models.layers.set_depthwise_impl
-("pallas")`` is active (flag ``--pallas_dw``); default stays on XLA's
-grouped conv. Correctness is tested in interpreter mode on CPU and
-numerically on TPU against ``lax.conv_general_dilated``.
+Enabled via ``pixelpick_tpu.models.layers.set_depthwise_impl("pallas")``
+(flag ``--pallas_dw``). Correctness is tested in interpreter mode on CPU
+and numerically on TPU against ``lax.conv_general_dilated``.
 """
 
 from __future__ import annotations
@@ -41,17 +48,41 @@ except Exception:  # pragma: no cover
 VMEM_BUDGET = 6 * 1024 * 1024  # per-image block budget (bytes)
 
 
-def _dw_kernel(x_ref, w_ref, o_ref, *, taps, stride, tile_out, w_out, ch):
-    xv = x_ref[0]
+def _row_tile(h_out: int, wd: int, ch: int, eff: int, itemsize: int) -> int:
+    """Largest divisor of h_out whose VMEM working set fits the budget.
+
+    Working set per program: input slab (tile+halo, input dtype), output
+    tile (input dtype), f32 accumulator + one f32 tap temporary (Mosaic's
+    scoped-vmem stack holds both live at the add)."""
+    best = 1
+    for th in range(1, h_out + 1):
+        if h_out % th:
+            continue
+        slab = (th + eff - 1) * wd * ch * itemsize
+        out = th * wd * ch * itemsize
+        f32_tmp = 2 * th * wd * ch * 4
+        if slab + out + f32_tmp <= VMEM_BUDGET:
+            best = th
+    return best
+
+
+def _dw_halo_kernel(x_hbm, w_ref, o_ref, scratch, sem, *, taps, tile_out,
+                    tile_in, w_out, ch):
+    """One program computes ``tile_out`` output rows of one image: DMA the
+    input slab (tile + halo rows) from HBM into VMEM scratch, then 9
+    static-offset vector MACs. Manual DMA because halo windows overlap —
+    Blocked specs can't express overlapping reads."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.dslice(ti * tile_out, tile_in)], scratch, sem)
+    cp.start()
+    cp.wait()
+    xv = scratch[...]
     acc = None
     for (ky, kx), (oy, ox) in taps:
-        sl = lax.slice(
-            xv,
-            (oy, ox, 0),
-            (oy + (tile_out - 1) * stride + 1,
-             ox + (w_out - 1) * stride + 1, ch),
-            (stride, stride, 1),
-        ).astype(jnp.float32)
+        sl = lax.slice(xv, (oy, ox, 0),
+                       (oy + tile_out, ox + w_out, ch)).astype(jnp.float32)
         tap = sl * w_ref[ky, kx, :].astype(jnp.float32)
         acc = tap if acc is None else acc + tap
     o_ref[0] = acc.astype(o_ref.dtype)
@@ -61,43 +92,64 @@ def _dw_forward(x: jnp.ndarray, w: jnp.ndarray, stride: int, dilation: int,
                 interpret: bool = False) -> jnp.ndarray:
     """x: (B,H,W,C) pre-padded NHWC; w: (3,3,C). VALID depthwise conv.
 
-    Grid over the batch: one program streams one padded image through VMEM
-    (MobileNetV2's dw layers are 1.5–8 MB per image at bf16). Images whose
-    block would exceed the VMEM budget fall back to XLA's grouped conv —
-    row-tiling with halo windows needs Element-indexed blocks, which
-    Mosaic currently refuses to pipeline (kept for a future round).
+    stride 1 (any size, any dilation): grid (batch, row-tiles); each program
+    DMAs its input slab (tile + halo) from HBM into VMEM scratch and runs
+    the 9 taps as unit-stride vector MACs — row tiling keeps arbitrarily
+    large images inside VMEM, and the manual copy expresses the overlapping
+    halo windows Blocked specs cannot.
+
+    stride 2 falls back to XLA's grouped conv: Mosaic's strided vector
+    slices are unit-stride only (verified on the v5e stack); the
+    space-to-depth phase-split variant is the remaining follow-up.
     """
     b, h, wd, ch = x.shape
+    ch_orig = ch
     eff = 1 + 2 * dilation  # effective kernel extent
     h_out = (h - eff) // stride + 1
     w_out = (wd - eff) // stride + 1
     taps = [((ky, kx), (ky * dilation, kx * dilation))
             for ky in range(3) for kx in range(3)]
 
-    # XLA fallback: (a) image too big for a VMEM block; (b) stride > 1 —
-    # Mosaic's vector.extract_strided_slice only allows unit strides
-    # (verified on the v5e stack), so strided taps can't lower.
-    if stride != 1 or h * wd * ch * x.dtype.itemsize > VMEM_BUDGET:
+    if stride != 1 or pltpu is None:
         return lax.conv_general_dilated(
             x, w.reshape(3, 3, 1, ch), (stride, stride),
             ((0, 0), (0, 0)), rhs_dilation=(dilation, dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=ch)
 
-    kernel = functools.partial(_dw_kernel, taps=taps, stride=stride,
-                               tile_out=h_out, w_out=w_out, ch=ch)
-    return pl.pallas_call(
+    # Mosaic DMA: slices of an HBM ref must be tile-aligned along the
+    # sublane/lane dims — (8) on width, (128) on channels. Right-pad both
+    # (the physical memref is lane-padded to 128 anyway, so the channel pad
+    # adds no real traffic); taps never read the extra columns and the
+    # caller slices the junk channels off the output.
+    wd8 = -(-wd // 8) * 8
+    ch128 = -(-ch // 128) * 128
+    if wd8 != wd or ch128 != ch:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, wd8 - wd), (0, ch128 - ch)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, ch128 - ch)))
+        wd, ch = wd8, ch128
+
+    tile_out = _row_tile(h_out, wd, ch, eff, x.dtype.itemsize)
+    tile_in = tile_out + eff - 1
+    kernel = functools.partial(_dw_halo_kernel, taps=taps, tile_out=tile_out,
+                               tile_in=tile_in, w_out=w_out, ch=ch)
+    y = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, h_out // tile_out),
         in_specs=[
-            pl.BlockSpec((1, h, wd, ch), lambda bi: (bi, 0, 0, 0), **_MEMSPACE),
-            pl.BlockSpec((3, 3, ch), lambda bi: (0, 0, 0), **_MEMSPACE),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, 3, ch), lambda bi, ti: (0, 0, 0), **_MEMSPACE),
         ],
-        out_specs=pl.BlockSpec((1, h_out, w_out, ch),
-                               lambda bi: (bi, 0, 0, 0), **_MEMSPACE),
+        out_specs=pl.BlockSpec((1, tile_out, w_out, ch),
+                               lambda bi, ti: (bi, ti, 0, 0), **_MEMSPACE),
         out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, ch), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_in, wd, ch), x.dtype),
+                        pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(x, w)
+    if ch != ch_orig:
+        y = y[..., :ch_orig]
+    return y
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
