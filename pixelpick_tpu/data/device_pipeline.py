@@ -92,13 +92,18 @@ def _tap_weights(u, src_len, fscale, n_taps=4):
     return jnp.clip(idx, 0, src_len - 1), wt
 
 
-def warp_sample(x, y, q, crop_hw, rs_geom, *, mean_fill, ignore_index):
+def warp_sample(x, y, q, crop_hw, rs_geom, *, mean_fill, ignore_index,
+                src_hw=None):
     """Apply one sampled geometric transform to (x uint8, y int32, q bool).
 
     Returns x_f32 (ch,cw,3) with mean fill outside, y int32 (ignore fill),
     q bool (False fill).
+
+    ``src_hw``: true (h, w) of the sample when the arrays are padded to a
+    common staging shape (variable-size datasets, VOC) — may be traced.
+    Taps are clipped to the true extent, so the pad region is never read.
     """
-    h, w = x.shape[:2]
+    h, w = (src_hw if src_hw is not None else x.shape[:2])
     ch, cw = crop_hw
     rs, sh, sw, top, left, flip = rs_geom
 
@@ -265,8 +270,26 @@ class DevicePipeline:
 
     def __init__(self, dataset, args, k_max: int | None = None):
         n = len(dataset)
-        xs = np.stack([dataset._load_x(i) for i in range(n)])
-        ys = np.stack([dataset._load_y(i) for i in range(n)]).astype(np.int32)
+        self.variable_size = bool(getattr(dataset, "variable_size", False))
+        if self.variable_size:
+            # VOC-style: stage base-resized images padded to a common shape
+            # with per-image true sizes; the warp clips its taps to the true
+            # extent so the pad region is never sampled
+            samples = [self._variable_sample(dataset, i) for i in range(n)]
+            hs = [s[0].shape[0] for s in samples]
+            ws = [s[0].shape[1] for s in samples]
+            sh, sw = max(hs), max(ws)
+            xs = np.zeros((n, sh, sw, 3), np.uint8)
+            ys = np.full((n, sh, sw), dataset.ignore_index, np.int32)
+            for i, (x, y) in enumerate(samples):
+                xs[i, :x.shape[0], :x.shape[1]] = x
+                ys[i, :y.shape[0], :y.shape[1]] = y
+            self.hw = jnp.asarray(np.stack([hs, ws], -1).astype(np.int32))
+        else:
+            xs = np.stack([dataset._load_x(i) for i in range(n)])
+            ys = np.stack([dataset._load_y(i)
+                           for i in range(n)]).astype(np.int32)
+            self.hw = None
         self.images = jnp.asarray(xs)   # (N,H,W,3) uint8 in HBM
         self.labels = jnp.asarray(ys)
         self.queries = None
@@ -285,11 +308,13 @@ class DevicePipeline:
         mean_fill, ignore = self.mean_fill, self.ignore_index
         crop_hw, k_m = self.crop_hw, self.k_max
 
-        def one(x, y, q, key):
+        def one(x, y, q, hw, key):
             kg, kp = jax.random.split(key)
-            geom = _sample_geometry(kg, x.shape[:2], crop_hw, geo)
+            src_hw = x.shape[:2] if hw is None else (hw[0], hw[1])
+            geom = _sample_geometry(kg, src_hw, crop_hw, geo)
             xa, ya, qa = warp_sample(x, y, q, crop_hw, geom,
-                                     mean_fill=mean_fill, ignore_index=ignore)
+                                     mean_fill=mean_fill, ignore_index=ignore,
+                                     src_hw=None if hw is None else src_hw)
             xa = photometric_device(xa, kp, jitter=jitter,
                                     blur_kernel=blur_k, enabled=photo)
             xn = (xa / 255.0 - mean) / std
@@ -297,20 +322,40 @@ class DevicePipeline:
             return xn, coords, labels, valid
 
         @jax.jit
-        def batch_fn(images, labels_, queries, indices, rng):
+        def batch_fn(images, labels_, queries, indices, rng, hws=None):
             keys = jax.random.split(rng, indices.shape[0])
             xb = images[indices]
             yb = labels_[indices]
             qb = queries[indices]
-            xn, coords, lab, valid = jax.vmap(one)(xb, yb, qb, keys)
+            if hws is None:
+                xn, coords, lab, valid = jax.vmap(
+                    lambda x, y, q, k: one(x, y, q, None, k))(xb, yb, qb, keys)
+            else:
+                xn, coords, lab, valid = jax.vmap(one)(
+                    xb, yb, qb, hws[indices], keys)
             return {"x": xn, "coords": coords, "labels": lab, "valid": valid}
 
         self._batch_fn = batch_fn
 
+    @staticmethod
+    def _variable_sample(dataset, i):
+        """Base-resized (x uint8, y int32) for a variable-size dataset."""
+        x, y = dataset._base_resized(i)
+        return np.asarray(x, np.uint8), np.asarray(y, np.int32)
+
     def set_queries(self, queries_list) -> None:
-        self.queries = jnp.asarray(np.stack(queries_list))
+        if self.variable_size:
+            n = len(queries_list)
+            sh, sw = self.images.shape[1:3]
+            qs = np.zeros((n, sh, sw), bool)
+            for i, q in enumerate(queries_list):
+                qs[i, :q.shape[0], :q.shape[1]] = q
+            self.queries = jnp.asarray(qs)
+        else:
+            self.queries = jnp.asarray(np.stack(queries_list))
 
     def sample_batch(self, indices: np.ndarray, rng) -> dict:
         assert self.queries is not None, "call set_queries() first"
         return self._batch_fn(self.images, self.labels, self.queries,
-                              jnp.asarray(indices, jnp.int32), rng)
+                              jnp.asarray(indices, jnp.int32), rng,
+                              hws=self.hw)

@@ -153,3 +153,49 @@ def test_e2e_round_with_device_augment(tmp_path):
     model.device_pipe = DevicePipeline(model.dataset, args)
     model()
     assert model.dataset.n_pixels_total == 8 * 4 * 2
+
+
+def test_variable_size_staging_voc(tmp_path):
+    """VOC through the device pipeline: variable-size sources staged padded
+    with per-image true sizes; the warp never samples the pad region and
+    sparse labels stay inside the crop."""
+    from tests.test_datasets_cs_voc import _make_voc
+    from pixelpick_tpu.config import default_args
+    from pixelpick_tpu.data.voc import VOC2012Segmentation
+    from pixelpick_tpu.data.device_pipeline import DevicePipeline
+    import os
+
+    root = _make_voc(str(tmp_path / "voc"))
+    args = default_args("voc", dir_dataset=root,
+                        dir_checkpoints=str(tmp_path / "ck"),
+                        n_pixels_by_us=6, size_base=100, size_crop=64,
+                        batch_size=3, device_augment=True)
+    os.makedirs(args.dir_checkpoints, exist_ok=True)
+    ds = VOC2012Segmentation(args)
+    pipe = DevicePipeline(ds, args)
+    pipe.set_queries(ds.queries)
+
+    assert pipe.variable_size
+    # staging is padded to the max base-resized extent
+    assert pipe.images.shape[1:3] == (100, 100)
+    hw = np.asarray(pipe.hw)
+    for i, q in enumerate(ds.queries):
+        assert tuple(hw[i]) == q.shape
+
+    batch = pipe.sample_batch(np.array([0, 1, 2]), jax.random.PRNGKey(7))
+    assert batch["x"].shape == (3, 64, 64, 3)
+    x = np.asarray(batch["x"])
+    assert np.isfinite(x).all()
+    coords = np.asarray(batch["coords"])
+    valid = np.asarray(batch["valid"])
+    labels = np.asarray(batch["labels"])
+    assert (coords >= 0).all() and (coords < 64).all()
+    assert valid.shape == labels.shape
+    # every valid sparse label is a real class (pad labels are ignore=255)
+    assert (labels[valid] >= 0).all() and (labels[valid] < args.n_classes).all()
+    # determinism: same key -> same batch
+    b2 = pipe.sample_batch(np.array([0, 1, 2]), jax.random.PRNGKey(7))
+    np.testing.assert_allclose(x, np.asarray(b2["x"]), atol=1e-6)
+    # different key -> different augmentation
+    b3 = pipe.sample_batch(np.array([0, 1, 2]), jax.random.PRNGKey(8))
+    assert not np.allclose(x, np.asarray(b3["x"]))
