@@ -167,6 +167,9 @@ class ALModel:
             if self.debug:
                 break
         self.timer.dump(f"{dir_stage}/timing.json")
+        if getattr(args, "ckpt_backend", "msgpack") == "orbax":
+            from pixelpick_tpu.engine.checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()  # stage artifacts durable before querying
         return state.params, state.batch_stats
 
     # ----------------------------- epochs -----------------------------
@@ -251,7 +254,8 @@ class ALModel:
 
         if miou > self.best_miou:
             save_checkpoint(f"{dir_stage}/best_miou_model.ckpt",
-                            state.params, state.batch_stats)
+                            state.params, state.batch_stats,
+                            backend=getattr(args, "ckpt_backend", "msgpack"))
             print(f"best model saved (epoch {epoch} | prev miou "
                   f"{self.best_miou:.4f} => {miou:.4f})")
             self.best_miou = miou

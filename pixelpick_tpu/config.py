@@ -121,6 +121,12 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--pallas_dw", action="store_true", default=False,
                         help="use the Pallas depthwise-conv kernel "
                              "(ops/depthwise.py) instead of XLA's grouped conv")
+    parser.add_argument("--ckpt_backend", type=str, default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="best-model checkpoint format: flax msgpack "
+                             "file (default, reference-style synchronous "
+                             "save) or orbax async directory (background "
+                             "IO for long runs)")
     parser.add_argument("--profile_dir", type=str, default="",
                         help="write jax.profiler traces of the train and "
                              "query phases to this directory (TensorBoard-"
