@@ -199,3 +199,30 @@ def test_variable_size_staging_voc(tmp_path):
     # different key -> different augmentation
     b3 = pipe.sample_batch(np.array([0, 1, 2]), jax.random.PRNGKey(8))
     assert not np.allclose(x, np.asarray(b3["x"]))
+
+
+def test_cityscapes_staging(tmp_path):
+    """Cityscapes (downsample cache, uniform shapes) stages through the
+    fixed-size device-pipeline path."""
+    from tests.test_datasets_cs_voc import _make_cityscapes
+    from pixelpick_tpu.config import default_args
+    import pixelpick_tpu.data.cityscapes as cs_mod
+    from pixelpick_tpu.data.device_pipeline import DevicePipeline
+    import os
+
+    root = _make_cityscapes(str(tmp_path / "cityscapes"), hw=(64, 128))
+    args = default_args("cs", dir_dataset=root,
+                        dir_checkpoints=str(tmp_path / "ck"),
+                        n_pixels_by_us=5, downsample=4, device_augment=True)
+    os.makedirs(args.dir_checkpoints, exist_ok=True)
+    ds = cs_mod.CityscapesDataset(args)
+    ds.crop_size = (16, 32)  # synthetic images are 16x32 after d4
+    pipe = DevicePipeline(ds, args)
+    pipe.set_queries(ds.queries)
+    assert not pipe.variable_size and pipe.hw is None
+
+    batch = pipe.sample_batch(np.array([0, 1]), jax.random.PRNGKey(3))
+    assert batch["x"].shape == (2, 16, 32, 3)
+    labels = np.asarray(batch["labels"])
+    valid = np.asarray(batch["valid"])
+    assert (labels[valid] >= 0).all() and (labels[valid] < args.n_classes).all()
