@@ -10,7 +10,11 @@ from pixelpick_tpu.active.driver import ALModel
 
 def main():
     args = Arguments().parse_args()
-    ALModel(args)()
+    model = ALModel(args)
+    try:
+        model()
+    finally:
+        model.close()
 
 
 if __name__ == "__main__":

@@ -27,8 +27,22 @@ import jax
 import jax.numpy as jnp
 
 from pixelpick_tpu.engine.trainer import normalize_images
+from pixelpick_tpu.ops.resize import resize_align_corners
 
 MAXIMIZING = ("entropy", "least_confidence")  # query.py:45,53: largest=True
+
+
+def _full_res_pred(model, params, batch_stats, x, **apply_kw):
+    """Forward returning full-resolution logits WITHOUT materialising the
+    full-resolution 256-channel emb (models upsample both under
+    ``upsample=True`` — deeplab.py:55-59 — but scoring/eval only consume
+    pred; skipping the emb resize saves ~170 MB of HBM traffic per image)."""
+    out = model.apply({"params": params, "batch_stats": batch_stats}, x,
+                      train=False, upsample=False, **apply_kw)
+    pred = out["pred"].astype(jnp.float32)
+    if pred.shape[1:3] != x.shape[1:3]:
+        pred = resize_align_corners(pred, x.shape[1:3])
+    return pred
 
 
 def _xlogx(p):
@@ -61,30 +75,63 @@ def fill_value(strategy: str) -> float:
 
 
 def _select_topk(uc_flat, rng, *, strategy, n_pixels, top_n_percent,
-                 reverse_order, hw):
+                 reverse_order, hw, pad_mask=None, true_n=None):
     """Per-image selection over a flattened uncertainty map (query.py:33-69).
 
-    Returns (n_pixels,) int32 flat indices.
+    ``hw`` is the (possibly bucket-padded) map shape. For bucketed pools
+    ``pad_mask`` flags the padding pixels (never pickable) and ``true_n`` is
+    the image's true pixel count — the reference computes its candidate-pool
+    size from the TRUE image area (``k = int(h*w*top_n_percent)``,
+    query.py:36), so k must not inflate with the bucket padding.
+
+    Returns (n_pixels,) int32 flat indices into the padded map.
     """
     n = hw[0] * hw[1]
     largest = strategy in MAXIMIZING
     signed = uc_flat if largest else -uc_flat
+    if pad_mask is not None:
+        signed = jnp.where(pad_mask, -jnp.inf, signed)
 
-    if reverse_order:
-        assert top_n_percent > 0.0
-        k = int(n * top_n_percent)
-        cand = jax.random.permutation(rng, n)[:k]
-        mask = jnp.zeros((n,), bool).at[cand].set(True)
-        signed = jnp.where(mask, signed, -jnp.inf)
+    if top_n_percent <= 0.0:
         return jax.lax.top_k(signed, n_pixels)[1].astype(jnp.int32)
 
-    k = int(n * top_n_percent) if top_n_percent > 0.0 else n_pixels
-    idx = jax.lax.top_k(signed, k)[1]
-    if top_n_percent > 0.0:
-        # uniform sub-sample without replacement from the top-k pool
-        perm = jax.random.permutation(rng, k)[:n_pixels]
-        idx = idx[perm]
-    return idx.astype(jnp.int32)
+    # static upper bound on the candidate-pool size; the per-image true
+    # k = int(true_n * top_n_percent) masks ranks beyond it. Clamped to
+    # >= n_pixels (the reference would crash sub-sampling k < n_pixels).
+    k_bucket = max(n_pixels, int(n * top_n_percent))
+    if true_n is None:
+        k_true = jnp.asarray(k_bucket, jnp.int32)
+    else:
+        k_true = jnp.maximum(
+            (true_n.astype(jnp.float32) * top_n_percent).astype(jnp.int32),
+            n_pixels)
+    rank_ok = jnp.arange(k_bucket) < k_true
+    rng_a, rng_b = jax.random.split(rng)
+
+    if reverse_order:
+        # uniform candidate subset of size k among the true-image pixels
+        # (query.py:39-42: np.random.choice over range(h*w)); non-candidates
+        # get the strategy fill, then top-n_pixels (query.py:44-54)
+        r = jax.random.uniform(rng_a, (n,))
+        if pad_mask is not None:
+            r = jnp.where(pad_mask, -jnp.inf, r)
+        cand = jax.lax.top_k(r, k_bucket)[1]  # random k_bucket true pixels
+        cand_scores = jnp.where(rank_ok, signed[cand], -jnp.inf)
+        picked = jax.lax.top_k(cand_scores, n_pixels)[1]
+        return cand[picked].astype(jnp.int32)
+
+    # top-k by score, then uniform n_pixels sub-sample from the first
+    # k_true ranks. The sub-sample randomness is keyed to PIXEL IDENTITY
+    # (one uniform per pixel; highest n_pixels among the candidates win —
+    # equivalent to choice-without-replacement): a rank reorder inside the
+    # candidate pool (different XLA program layouts round differently)
+    # cannot change the picked set, so sharded and unsharded sweeps pick
+    # identical pixels.
+    idx = jax.lax.top_k(signed, k_bucket)[1]
+    r_pix = jax.random.uniform(rng_b, (n,))
+    r = jnp.where(rank_ok, r_pix[idx], -jnp.inf)
+    sel = jax.lax.top_k(r, n_pixels)[1]
+    return idx[sel].astype(jnp.int32)
 
 
 def make_score_fn(model, *, strategy: str, n_classes: int, mean, std,
@@ -113,11 +160,10 @@ def make_score_fn(model, *, strategy: str, n_classes: int, mean, std,
             # implements it; this is the QBC vote-entropy family.
             def step(carry, key):
                 prob_sum, uc_sum, votes = carry
-                out = model.apply(
-                    {"params": params, "batch_stats": batch_stats}, x,
-                    train=False, mc_dropout_on=True, upsample=True,
-                    rngs={"dropout": key})
-                p = jax.nn.softmax(out["pred"].astype(jnp.float32), -1)
+                pred = _full_res_pred(model, params, batch_stats, x,
+                                      mc_dropout_on=True,
+                                      rngs={"dropout": key})
+                p = jax.nn.softmax(pred, -1)
                 u = uncertainty_map(p, strategy, key)
                 v = jax.nn.one_hot(p.argmax(-1), n_classes, dtype=jnp.float32)
                 return (prob_sum + p, uc_sum + u, votes + v), None
@@ -131,9 +177,8 @@ def make_score_fn(model, *, strategy: str, n_classes: int, mean, std,
             if vote_type == "hard":
                 return prob, uncertainty_map(votes / mc_n_steps, strategy, rng)
             return prob, uc / mc_n_steps
-        out = model.apply({"params": params, "batch_stats": batch_stats}, x,
-                          train=False, upsample=True)
-        prob = jax.nn.softmax(out["pred"].astype(jnp.float32), -1)
+        pred = _full_res_pred(model, params, batch_stats, x)
+        prob = jax.nn.softmax(pred, -1)
         return prob, uncertainty_map(prob, strategy, rng)
 
     @jax.jit
@@ -146,29 +191,48 @@ def make_score_fn(model, *, strategy: str, n_classes: int, mean, std,
         excluded = batch["excluded"] | (batch["y"] == ignore_index)
         uc = jnp.where(excluded, fill_value(strategy), uc)
 
+        if "hw" in batch:
+            # bucketed pools: per-image true sizes; candidate-pool k comes
+            # from the true area and padding is never pickable
+            hw_true = batch["hw"].astype(jnp.int32)  # (B, 2)
+            true_n = hw_true[:, 0] * hw_true[:, 1]
+            pad = (jnp.arange(big_h)[None, :, None] >= hw_true[:, 0, None, None]) \
+                | (jnp.arange(big_w)[None, None, :] >= hw_true[:, 1, None, None])
+        else:
+            true_n = jnp.full((bsz,), big_h * big_w, jnp.int32)
+            pad = jnp.zeros((bsz, big_h, big_w), bool)
+
         sel = functools.partial(
             _select_topk, strategy=strategy, n_pixels=n_pixels,
             top_n_percent=top_n_percent, reverse_order=reverse_order,
             hw=(big_h, big_w))
         keys = jax.random.split(rng_sel, bsz)
-        idx = jax.vmap(sel)(uc.reshape(bsz, -1), keys)  # (B, n_pixels)
+        idx = jax.vmap(lambda u, k, p, t: sel(u, k, pad_mask=p, true_n=t))(
+            uc.reshape(bsz, -1), keys, pad.reshape(bsz, -1), true_n)
 
-        # acquisition stats at picked pixels (QueryStats, query.py:250-308)
+        # acquisition stats at picked pixels (QueryStats, query.py:250-308).
+        # picked_valid masks picks that spilled into excluded/void/pad
+        # pixels (possible when an image has < n_pixels candidates) so the
+        # per-round analytics don't count them.
+        valid_map = (~(excluded | pad)).reshape(bsz, -1)
+        picked_valid = jnp.take_along_axis(valid_map, idx, axis=1)
         ent = -_xlogx(prob).sum(-1).reshape(bsz, -1)
         picked_ent = jnp.take_along_axis(ent, idx, axis=1)
         picked_y = jnp.take_along_axis(
             batch["y"].reshape(bsz, -1).astype(jnp.int32), idx, axis=1)
         ys = idx // big_w
         xs = idx % big_w
-        # mean pairwise distance per image (spatial coverage)
+        # mean pairwise distance per image over valid picks (spatial coverage)
         dy = ys[:, :, None] - ys[:, None, :]
         dx = xs[:, :, None] - xs[:, None, :]
         d = jnp.sqrt((dy * dy + dx * dx).astype(jnp.float32))
-        off_diag = ~jnp.eye(n_pixels, dtype=bool)
-        coverage = (d * off_diag).sum((1, 2)) / jnp.maximum(off_diag.sum(), 1)
+        pair_ok = (picked_valid[:, :, None] & picked_valid[:, None, :]
+                   & ~jnp.eye(n_pixels, dtype=bool))
+        coverage = (d * pair_ok).sum((1, 2)) / jnp.maximum(
+            pair_ok.sum((1, 2)), 1)
 
         stats = {"entropy": picked_ent, "labels": picked_y,
-                 "coverage": coverage}
+                 "coverage": coverage, "picked_valid": picked_valid}
         return idx, stats
 
     return score_batch

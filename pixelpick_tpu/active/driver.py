@@ -84,11 +84,18 @@ class ALModel:
         if getattr(args, "device_augment", False) and not fully_sup \
                 and not human_labels:
             from pixelpick_tpu.data.device_pipeline import DevicePipeline
-            self.device_pipe = DevicePipeline(self.dataset, args)
+            self.device_pipe = DevicePipeline(self.dataset, args,
+                                              mesh=self.mesh)
         self.vis = Visualiser(args.dataset_name)
-        self.query_selector = QuerySelector(args, self.loader_query, self.model)
+        self.query_selector = QuerySelector(args, self.loader_query,
+                                            self.model, mesh=self.mesh)
         self._forward = make_forward_fn(self.model, mean=args.mean, std=args.std)
         self.running_loss = AverageMeter()
+
+    def close(self) -> None:
+        """Release the loaders' worker thread pools."""
+        for ld in (self.loader, self.loader_query, self.loader_val):
+            ld.close()
 
     # ----------------------------- rounds -----------------------------
 
@@ -103,14 +110,17 @@ class ALModel:
         for nth_query in range(n_stages):
             self.nth_query = nth_query
             params, batch_stats = self._run_stage(f"{nth_query}_query")
-            if nth_query == n_stages - 1:
-                break
             profile_dir = getattr(args, "profile_dir", "")
             with trace(f"{profile_dir}/query" if profile_dir
                        and nth_query == 0 else None):
                 queries = self.query_selector(nth_query, params, batch_stats,
                                               human_labels=self.human_labels)
             self.dataset.label_queries(queries, nth_query + 1)
+            # the reference queries+labels BEFORE breaking on the last stage
+            # (model.py:82-87), so {n_stages}_query/queries.pkl exists on disk
+            # and resume-by-rglob counts rounds identically
+            if nth_query == n_stages - 1:
+                break
 
     def _run_stage(self, stage_name: str) -> Tuple:
         args = self.args
@@ -238,12 +248,14 @@ class ALModel:
                 # the ignore index, so the confusion matrix drops them
                 feed = {k: v for k, v in batch.items()
                         if k not in ("index", "hw")}
+                feed = shard_batch(feed, self.mesh)
                 hist, pred = eval_fn(state.params, state.batch_stats, feed)
             elif args.dataset_name == "voc":
                 batch, valid_hw = _pad_to_stride(batch, args.stride_total)
                 hist, pred = eval_fn(state.params, state.batch_stats, batch,
                                      valid_hw=valid_hw)
             else:
+                batch = shard_batch(batch, self.mesh)
                 hist, pred = eval_fn(state.params, state.batch_stats, batch)
             score.merge(hist)
             last = (batch, pred)

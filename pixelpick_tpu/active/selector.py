@@ -20,13 +20,18 @@ import numpy as np
 from pixelpick_tpu.active import codec
 from pixelpick_tpu.active.acquisition import make_score_fn
 from pixelpick_tpu.active.stats import QueryStats
+from pixelpick_tpu.parallel.mesh import shard_batch
 
 
 class QuerySelector:
-    def __init__(self, args, loader, model):
+    def __init__(self, args, loader, model, mesh=None):
         self.args = args
         self.loader = loader  # mode='query' Loader over the pool
         self.model = model
+        # pool images are independent — the sweep is embarrassingly parallel
+        # over the ('data',) mesh (SURVEY §2.2); batches are sharded on the
+        # leading axis and only (B, n_pixels) indices + small stats return
+        self.mesh = mesh
         self.n_pixels_by_us = args.n_pixels_by_us
         self.ignore_index = args.ignore_index
         self.dir_checkpoints = args.dir_checkpoints
@@ -56,8 +61,11 @@ class QuerySelector:
         ds = self.loader.dataset
         for batch in self.loader:
             rng, sub = jax.random.split(rng)
-            score_in = {k: v for k, v in batch.items()
-                        if k not in ("index", "hw")}
+            # "hw" (per-image true sizes) rides into the kernel: candidate-
+            # pool size is computed from the true area and bucket padding is
+            # never pickable (reference query.py:36 uses the true h*w)
+            score_in = {k: v for k, v in batch.items() if k != "index"}
+            score_in = shard_batch(score_in, self.mesh)
             indices, dev_stats = self._score_fn(params, batch_stats,
                                                 score_in, sub)
             indices = np.asarray(indices)  # (B, n_pixels) flat

@@ -25,15 +25,21 @@ class QueryStats:
 
     def update_batch(self, stats: dict) -> None:
         """stats: device dict {'entropy': (B,K), 'labels': (B,K),
-        'coverage': (B,)} from acquisition.make_score_fn."""
+        'coverage': (B,), 'picked_valid': (B,K)} from
+        acquisition.make_score_fn. ``picked_valid`` masks picks that
+        spilled into excluded/void/pad pixels (images with fewer than K
+        candidates) out of every aggregate."""
         ent = np.asarray(stats["entropy"])
         labels = np.asarray(stats["labels"])
         cov = np.asarray(stats["coverage"])
+        ok = np.asarray(stats.get("picked_valid",
+                                  np.ones(ent.shape, bool)))
         for b in range(ent.shape[0]):
-            self.list_entropy.extend(ent[b].tolist())
-            self.list_n_unique_labels.append(len(set(labels[b].tolist())))
+            self.list_entropy.extend(ent[b][ok[b]].tolist())
+            good = labels[b][ok[b]].tolist()
+            self.list_n_unique_labels.append(len(set(good)))
             self.list_spatial_coverage.append(float(cov[b]))
-            for l in labels[b].tolist():
+            for l in good:
                 if l in self.dict_label_cnt:
                     self.dict_label_cnt[l] += 1
 

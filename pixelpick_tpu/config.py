@@ -58,6 +58,14 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--mc_dropout_p", type=float, default=0.2)
     parser.add_argument("--mc_n_steps", type=int, default=20)
     parser.add_argument("--vote_type", type=str, default="soft", choices=["soft", "hard"])
+    parser.add_argument("--mc_dropout2d_committee", action="store_true",
+                        default=False,
+                        help="also activate the MobileNetV2 Dropout2d sites "
+                             "during MC-committee scoring. The reference's "
+                             "turn_on_dropout only re-enables nn.Dropout "
+                             "modules (deeplab.py:33-36) and nn.Dropout2d is "
+                             "NOT an nn.Dropout subclass, so those sites stay "
+                             "inactive there — the default reproduces that")
 
     # budget (args.py:37-39)
     parser.add_argument("--n_init_pixels", type=int, default=0)
@@ -74,6 +82,11 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--use_aug", type=lambda s: s not in ("0", "false", "False"),
                         default=True)
     parser.add_argument("--use_augmented_dataset", action="store_true", default=False)
+    parser.add_argument("--dir_augmented_dataset", type=str, default="",
+                        help="root of the augmented VOC train set "
+                             "({root}/images, {root}/annot pairs); defaults to "
+                             "{dir_dataset}/VOCdevkit/VOC2012/train_aug "
+                             "(reference args.py:133)")
 
     # encoder (args.py:50-55)
     parser.add_argument("--n_layers", type=int, default=50, choices=[18, 34, 50, 101])
@@ -105,9 +118,16 @@ def build_parser() -> ArgumentParser:
                         help="validation batch size (reference uses 1, "
                              "utils.py:75-109; uniform-shape datasets can "
                              "batch higher)")
-    parser.add_argument("--pool_batch_size", type=int, default=16,
+    parser.add_argument("--pool_batch_size", type=int, default=32,
                         help="images per device step during pool scoring "
-                             "(reference uses batch-size 1, query.py:159)")
+                             "(reference uses batch-size 1, query.py:159); "
+                             "32 matches the benchmarked production config")
+    parser.add_argument("--prng", type=str, default="auto",
+                        choices=["auto", "threefry", "rbg"],
+                        help="jax PRNG implementation for in-model "
+                             "randomness; 'auto' = hardware rbg on TPU "
+                             "(threefry dropout costs ~19 ms/step at bs48), "
+                             "threefry elsewhere")
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="number of devices on the ('data',) mesh axis; "
                              "0 = all available devices")
@@ -121,6 +141,11 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--pallas_dw", action="store_true", default=False,
                         help="use the Pallas depthwise-conv kernel "
                              "(ops/depthwise.py) instead of XLA's grouped conv")
+    parser.add_argument("--conv3x3_matmul", action="store_true", default=False,
+                        help="lower same-shape stride-1 3x3 convs (decoder "
+                             "head, ASPP atrous branches) to 9 tap channel "
+                             "matmuls instead of lax.conv "
+                             "(models/layers.py:Conv3x3MatMul)")
     parser.add_argument("--ckpt_backend", type=str, default="msgpack",
                         choices=["msgpack", "orbax"],
                         help="best-model checkpoint format: flax msgpack "
@@ -195,20 +220,27 @@ def enable_compile_cache() -> None:
         pass
 
 
-def configure_tpu_rng() -> None:
-    """On TPU, use the hardware ``rbg`` PRNG for in-model randomness.
+def configure_tpu_rng(prng: str = "auto") -> None:
+    """Select the jax PRNG implementation for in-model randomness.
 
-    threefry generates random bits in VPU ALU ops; the decoder's
-    Dropout(0.5) alone draws ~132M bits per bs-48 step, measured at
-    ~19 ms/step (126 -> 107 ms, +18% train throughput) on v5e. rbg is a
-    counter-based hardware generator with the same jax.random API.
-    CPU (tests) keeps threefry so test behaviour is backend-stable.
+    ``auto``: hardware ``rbg`` on TPU, threefry elsewhere. threefry
+    generates random bits in VPU ALU ops; the decoder's Dropout(0.5) alone
+    draws ~132M bits per bs-48 step, measured at ~19 ms/step (126 -> 107 ms,
+    +18% train throughput) on v5e. rbg is a counter-based hardware generator
+    with the same jax.random API. CPU (tests) keeps threefry so test
+    behaviour is backend-stable. Overridable via ``--prng`` (this mutates
+    the process-global default PRNG impl — a deliberate CLI-level side
+    effect).
     """
     import jax
 
     try:
-        if jax.default_backend() == "tpu":
+        if prng == "auto":
+            prng = "rbg" if jax.default_backend() == "tpu" else "threefry"
+        if prng == "rbg":
             jax.config.update("jax_default_prng_impl", "rbg")
+        elif prng == "threefry":
+            jax.config.update("jax_default_prng_impl", "threefry2x32")
     except Exception:
         pass
 
@@ -219,10 +251,13 @@ def finalize_args(args: Namespace, write_files: bool = True) -> Namespace:
     Mirrors reference ``args.py:59-205`` (parse_args body).
     """
     enable_compile_cache()
-    configure_tpu_rng()
+    configure_tpu_rng(getattr(args, "prng", "auto"))
     if getattr(args, "pallas_dw", False):
         from pixelpick_tpu.models.layers import set_depthwise_impl
         set_depthwise_impl("pallas")
+    if getattr(args, "conv3x3_matmul", False):
+        from pixelpick_tpu.models.layers import set_conv3x3_impl
+        set_conv3x3_impl("matmul")
     args.augmentations = {
         "geometric": {
             "random_scale": args.use_aug,
@@ -256,6 +291,11 @@ def finalize_args(args: Namespace, write_files: bool = True) -> Namespace:
                     args.dir_dataset = os.path.join(args.dir_datasets, v)
             else:
                 setattr(args, k, v)
+    if not getattr(args, "dir_augmented_dataset", ""):
+        # reference args.py:133 hardcodes this path under the VOC root
+        args.dir_augmented_dataset = os.path.join(
+            getattr(args, "dir_dataset", args.dir_datasets),
+            "VOCdevkit", "VOC2012", "train_aug")
 
     # experiment-name builder (args.py:154-180)
     kw = [args.dataset_name]

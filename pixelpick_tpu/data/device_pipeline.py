@@ -266,9 +266,17 @@ def sparse_coords_device(q, y, ignore_index, k_max):
 
 class DevicePipeline:
     """Stage a uniform-shape dataset in HBM; produce augmented train batches
-    with one jitted call per step."""
+    with one jitted call per step.
 
-    def __init__(self, dataset, args, k_max: int | None = None):
+    With a ``mesh``, the staged dataset is replicated across the devices
+    (CamVid train is 190 MB — trivial) and the batch program's outputs are
+    sharded on the leading axis over the ``('data',)`` mesh, so each device
+    augments only its own batch shard and the train step consumes the batch
+    in place — the production input path and data parallelism compose.
+    """
+
+    def __init__(self, dataset, args, k_max: int | None = None, mesh=None):
+        self.mesh = mesh
         n = len(dataset)
         self.variable_size = bool(getattr(dataset, "variable_size", False))
         if self.variable_size:
@@ -321,8 +329,7 @@ class DevicePipeline:
             coords, labels, valid = sparse_coords_device(qa, ya, ignore, k_m)
             return xn, coords, labels, valid
 
-        @jax.jit
-        def batch_fn(images, labels_, queries, indices, rng, hws=None):
+        def batch_impl(images, labels_, queries, indices, rng, hws=None):
             keys = jax.random.split(rng, indices.shape[0])
             xb = images[indices]
             yb = labels_[indices]
@@ -335,7 +342,16 @@ class DevicePipeline:
                     xb, yb, qb, hws[indices], keys)
             return {"x": xn, "coords": coords, "labels": lab, "valid": valid}
 
-        self._batch_fn = batch_fn
+        self._batch_fn = jax.jit(batch_impl)
+        self._batch_fn_sharded = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            out = NamedSharding(mesh, P("data"))
+            self._batch_fn_sharded = jax.jit(
+                batch_impl,
+                out_shardings={"x": out, "coords": out, "labels": out,
+                               "valid": out})
 
     @staticmethod
     def _variable_sample(dataset, i):
@@ -356,6 +372,9 @@ class DevicePipeline:
 
     def sample_batch(self, indices: np.ndarray, rng) -> dict:
         assert self.queries is not None, "call set_queries() first"
-        return self._batch_fn(self.images, self.labels, self.queries,
-                              jnp.asarray(indices, jnp.int32), rng,
-                              hws=self.hw)
+        fn = self._batch_fn
+        if self._batch_fn_sharded is not None \
+                and len(indices) % self.mesh.devices.size == 0:
+            fn = self._batch_fn_sharded  # remainder batches stay unsharded
+        return fn(self.images, self.labels, self.queries,
+                  jnp.asarray(indices, jnp.int32), rng, hws=self.hw)

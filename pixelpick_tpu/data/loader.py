@@ -76,6 +76,23 @@ class Loader:
         self._pool = ThreadPoolExecutor(max_workers=self.n_workers)
         self._batch_pool = ThreadPoolExecutor(max_workers=max(1, prefetch))
 
+    def close(self) -> None:
+        """Release the worker thread pools (idempotent)."""
+        self._pool.shutdown(wait=False, cancel_futures=True)
+        self._batch_pool.shutdown(wait=False, cancel_futures=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __len__(self) -> int:
         if self.bucket_stride is not None:
             return sum(-(-len(idxs) // self.batch_size)

@@ -66,9 +66,21 @@ class VOC2012Segmentation(SegDatasetBase):
         self.jitter = (0.1, 0.1, 0.1, 0.1)  # voc.py:176
 
         if args.use_augmented_dataset and not val:
-            imgs = sorted(glob(f"{args.dir_augmented_dataset}/images/*"))
-            labs = sorted(glob(f"{args.dir_augmented_dataset}/annot/*"))
-            assert len(imgs) == len(labs) and imgs
+            # AugmentedVOC layout: {root}/images, {root}/annot name-matched
+            # pairs (reference voc.py:214-226; root default args.py:133)
+            root = args.dir_augmented_dataset
+            if not os.path.isdir(root):
+                raise FileNotFoundError(
+                    f"--use_augmented_dataset: no directory at {root} "
+                    "(set --dir_augmented_dataset)")
+            imgs = sorted(glob(f"{root}/images/*"))
+            labs = sorted(glob(f"{root}/annot/*"))
+            assert len(imgs) == len(labs) and imgs, \
+                f"unpaired augmented dataset under {root}"
+            for p_img, p_lab in zip(imgs, labs):  # voc.py:224
+                stem = os.path.basename(p_img).split(".")[0]
+                assert os.path.basename(p_lab).split(".")[0] == stem, \
+                    (p_img, p_lab)
             self.list_inputs, self.list_labels = imgs, labs
         else:
             self.list_inputs, self.list_labels = _find_voc_split(

@@ -10,21 +10,27 @@ queries stay in the byte-compatible pkl codec.
 An optional **orbax** backend (``--ckpt_backend orbax``) saves the same
 payload through ``orbax.checkpoint.AsyncCheckpointer``: the device->host
 copy happens inline but serialisation/IO runs on a background thread, so
-long runs don't stall the train loop on checkpoint writes. Orbax stores a
-*directory* at ``<path>.orbax``; ``load_checkpoint`` auto-detects which
-backend wrote a given path.
+long runs don't stall the train loop on checkpoint writes. Each save goes
+to a FRESH step directory under ``<path>.orbax/`` (orbax commits a step
+atomically: tmp dir + rename), so a crash mid-save can never lose the
+previous best checkpoint; older steps are pruned once the newer save is
+durable. ``load_checkpoint`` auto-detects which backend wrote a path and
+restores the latest committed step.
 """
 
 from __future__ import annotations
 
 import atexit
 import os
-from typing import Optional, Tuple
+import re
+import shutil
+from typing import List, Optional, Tuple
 
 import flax.serialization
 import jax
 
 _orbax_ckptr = None
+_STEP_RE = re.compile(r"^step_(\d+)$")
 
 
 def _orbax():
@@ -43,6 +49,18 @@ def wait_for_checkpoints() -> None:
         _orbax_ckptr.wait_until_finished()
 
 
+def _orbax_steps(root: str) -> List[int]:
+    """Committed step numbers under an orbax root, ascending."""
+    if not os.path.isdir(root):
+        return []
+    steps = []
+    for d in os.listdir(root):
+        m = _STEP_RE.match(d)
+        if m and os.path.isdir(os.path.join(root, d)):
+            steps.append(int(m.group(1)))
+    return sorted(steps)
+
+
 def save_checkpoint(path: str, params, batch_stats,
                     backend: str = "msgpack") -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -51,9 +69,19 @@ def save_checkpoint(path: str, params, batch_stats,
         "batch_stats": jax.device_get(batch_stats),
     }
     if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        root = os.path.abspath(path) + ".orbax"
         ckptr = _orbax()
         ckptr.wait_until_finished()  # one save in flight at a time
-        ckptr.save(os.path.abspath(path) + ".orbax", payload, force=True)
+        steps = _orbax_steps(root)
+        # previous save is durable now — prune everything but the newest
+        for s in steps[:-1]:
+            shutil.rmtree(os.path.join(root, f"step_{s:08d}"),
+                          ignore_errors=True)
+        nxt = (steps[-1] + 1) if steps else 0
+        ckptr.save(os.path.join(root, f"step_{nxt:08d}"),
+                   args=ocp.args.StandardSave(payload))
         return
     with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(payload))
@@ -66,8 +94,12 @@ def load_checkpoint(path: str, params_template, batch_stats_template) -> Tuple:
         import orbax.checkpoint as ocp
 
         wait_for_checkpoints()
+        steps = _orbax_steps(orbax_dir)
+        # latest committed step; bare root = legacy (round-2) layout
+        target = os.path.join(orbax_dir, f"step_{steps[-1]:08d}") \
+            if steps else orbax_dir
         with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
-            payload = ckptr.restore(orbax_dir, args=ocp.args.StandardRestore(
+            payload = ckptr.restore(target, args=ocp.args.StandardRestore(
                 jax.device_get(template)))
         return payload["params"], payload["batch_stats"]
     with open(path, "rb") as f:

@@ -41,6 +41,7 @@ import optax
 
 from pixelpick_tpu.ops.resize import (
     gather_bilinear_align_corners, gather_bilinear_matmul,
+    resize_align_corners,
 )
 from pixelpick_tpu.utils.metrics import confusion_matrix
 
@@ -184,9 +185,14 @@ def make_eval_step(model, *, n_classes: int, mean, std,
     @functools.partial(jax.jit, static_argnames=("valid_hw",))
     def eval_step(params, batch_stats, batch, valid_hw=None):
         x = normalize_images(batch["x"], mean, std)
+        # upsample=False + explicit pred resize: skips the full-resolution
+        # 256-channel emb resize the model's upsample=True path would also
+        # materialise (scoring/eval only consume pred)
         out = model.apply({"params": params, "batch_stats": batch_stats}, x,
-                          train=False, upsample=True)
-        logits = out["pred"]
+                          train=False, upsample=False)
+        logits = out["pred"].astype(jnp.float32)
+        if logits.shape[1:3] != x.shape[1:3]:
+            logits = resize_align_corners(logits, x.shape[1:3])
         if valid_hw is not None:
             logits = logits[:, :valid_hw[0], :valid_hw[1]]
         pred = logits.argmax(-1)

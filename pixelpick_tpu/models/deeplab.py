@@ -60,6 +60,7 @@ class DeepLab(nn.Module):
     width_mult: float = 1.0
     mc_dropout: bool = False
     mc_dropout_p: float = 0.2
+    mc_dropout2d_committee: bool = False  # see MobileNetV2 (fidelity flag)
     dtype: jnp.dtype = jnp.float32
     bn_groups: int = 0
 
@@ -69,6 +70,7 @@ class DeepLab(nn.Module):
         high, low = MobileNetV2(
             output_stride=self.output_stride, width_mult=self.width_mult,
             mc_dropout=self.mc_dropout, mc_dropout_p=self.mc_dropout_p,
+            mc_dropout2d_committee=self.mc_dropout2d_committee,
             dtype=self.dtype, bn_groups=self.bn_groups, name="backbone",
         )(x, train, mc_dropout_on)
 

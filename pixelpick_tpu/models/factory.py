@@ -20,6 +20,8 @@ def get_model(args):
             width_mult=args.width_multiplier,
             mc_dropout=args.use_mc_dropout,
             mc_dropout_p=args.mc_dropout_p,
+            mc_dropout2d_committee=getattr(args, "mc_dropout2d_committee",
+                                           False),
             dtype=_dtype(args),
             bn_groups=bn_groups,
         )

@@ -130,6 +130,56 @@ class Conv1x1(nn.Module):
         return y
 
 
+class Conv3x3MatMul(nn.Module):
+    """'Same'-shape 3x3 conv decomposed into 9 shifted channel matmuls.
+
+    Each kernel tap contributes ``x_shifted @ W[ky,kx]`` — nine
+    [H*W, C_in] x [C_in, C_out] einsums accumulated in f32, the natural MXU
+    mapping (same rationale as :class:`Conv1x1`). Parameter layout stays
+    (3, 3, I, O) ``kernel`` + optional ``bias``, identical to ``nn.Conv``,
+    so checkpoints and the torch converter are implementation-agnostic.
+
+    Valid only for stride 1 with ``padding == dilation`` (output == input
+    shape) — exactly the decoder-head and ASPP-atrous convs, which carry
+    ~86% of the model's FLOPs (SegmentHead 304->256->256 at 1/4 res).
+    Enabled with ``--conv3x3_matmul`` / ``set_conv3x3_impl('matmul')``.
+    """
+
+    features: int
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = he_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, cin, self.features), jnp.float32)
+        d = self.dilation
+        h, w = x.shape[1:3]
+        xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+        precision = "highest" if self.dtype == jnp.float32 else None
+        xc = xp.astype(self.dtype)
+        kc = kernel.astype(self.dtype)
+        acc = None
+        for ky in range(3):
+            for kx in range(3):
+                win = jax.lax.slice(
+                    xc, (0, ky * d, kx * d, 0),
+                    (xc.shape[0], ky * d + h, kx * d + w, cin))
+                term = jnp.einsum("bhwc,co->bhwo", win, kc[ky, kx],
+                                  precision=precision,
+                                  preferred_element_type=jnp.float32)
+                acc = term if acc is None else acc + term
+        y = acc.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def conv(features: int, kernel: Tuple[int, int], stride=1, *, dilation=1,
          padding="VALID", groups: int = 1, use_bias: bool = False,
          dtype=jnp.float32, name: Optional[str] = None,
@@ -141,6 +191,12 @@ def conv(features: int, kernel: Tuple[int, int], stride=1, *, dilation=1,
             and padding in ("VALID", ((0, 0), (0, 0)))):
         return Conv1x1(features=features, use_bias=use_bias, dtype=dtype,
                        kernel_init=kernel_init, name=name)
+    d = dilation if isinstance(dilation, int) else dilation[0]
+    if (_CONV3X3_IMPL == "matmul" and tuple(kernel) == (3, 3)
+            and stride_t == (1, 1) and groups == 1
+            and padding == ((d, d), (d, d))):
+        return Conv3x3MatMul(features=features, dilation=d, use_bias=use_bias,
+                             dtype=dtype, kernel_init=kernel_init, name=name)
     if (_DEPTHWISE_IMPL == "pallas" and tuple(kernel) == (3, 3)
             and groups == features and not use_bias
             and padding in ("VALID", ((0, 0), (0, 0)))):
@@ -187,6 +243,7 @@ def fixed_pad(x, kernel_size: int, dilation: int):
 
 
 _DEPTHWISE_IMPL = "xla"
+_CONV3X3_IMPL = "xla"
 
 
 def set_depthwise_impl(name: str) -> None:
@@ -195,6 +252,15 @@ def set_depthwise_impl(name: str) -> None:
     global _DEPTHWISE_IMPL
     assert name in ("xla", "pallas"), name
     _DEPTHWISE_IMPL = name
+
+
+def set_conv3x3_impl(name: str) -> None:
+    """'xla' (lax.conv) or 'matmul' (tap-decomposed Conv3x3MatMul) for
+    same-shape stride-1 3x3 convs. Process-global; set before tracing
+    (--conv3x3_matmul does this)."""
+    global _CONV3X3_IMPL
+    assert name in ("xla", "matmul"), name
+    _CONV3X3_IMPL = name
 
 
 class PallasDepthwise(nn.Module):

@@ -97,6 +97,12 @@ class MobileNetV2(nn.Module):
     width_mult: float = 1.0
     mc_dropout: bool = False
     mc_dropout_p: float = 0.2
+    # the reference's turn_on_dropout (deeplab.py:33-36) re-enables only
+    # nn.Dropout modules; nn.Dropout2d is NOT an nn.Dropout subclass, so
+    # these two Dropout2d sites stay INACTIVE during MC-committee scoring
+    # there. False (default) reproduces that; True (--mc_dropout2d_committee)
+    # adds them as extra committee variance sources.
+    mc_dropout2d_committee: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_groups: int = 0
 
@@ -121,11 +127,9 @@ class MobileNetV2(nn.Module):
                 low = h
 
         if self.mc_dropout:
-            # train-time feature dropout appended to the stack (:115-116);
-            # active whenever dropout is active (train or turned-on MC)
-            h = Dropout2d(self.mc_dropout_p, name="feat_dropout")(
-                h, active=train or mc_dropout_on)
-            # query-time dropout on low-level features (:127,134-135)
-            low = Dropout2d(self.mc_dropout_p, name="low_dropout")(
-                low, active=train or mc_dropout_on)
+            on = train or (mc_dropout_on and self.mc_dropout2d_committee)
+            # train-time feature dropout appended to the stack (:115-116)
+            h = Dropout2d(self.mc_dropout_p, name="feat_dropout")(h, active=on)
+            # low-level-feature dropout (:127,134-135)
+            low = Dropout2d(self.mc_dropout_p, name="low_dropout")(low, active=on)
         return h, low

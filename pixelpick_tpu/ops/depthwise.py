@@ -53,8 +53,12 @@ def _row_tile(h_out: int, wd: int, ch: int, eff: int, itemsize: int) -> int:
 
     Working set per program: input slab (tile+halo, input dtype), output
     tile (input dtype), f32 accumulator + one f32 tap temporary (Mosaic's
-    scoped-vmem stack holds both live at the add)."""
-    best = 1
+    scoped-vmem stack holds both live at the add).
+
+    Returns 0 when even a one-row tile exceeds the budget (pathologically
+    wide images after the channel pad to 128) — the caller must fall back
+    to XLA's grouped conv rather than hand Mosaic an oversized scratch."""
+    best = 0
     for th in range(1, h_out + 1):
         if h_out % th:
             continue
@@ -124,12 +128,19 @@ def _dw_forward(x: jnp.ndarray, w: jnp.ndarray, stride: int, dilation: int,
     # caller slices the junk channels off the output.
     wd8 = -(-wd // 8) * 8
     ch128 = -(-ch // 128) * 128
+    tile_out = _row_tile(h_out, wd8, ch128, eff, x.dtype.itemsize)
+    if tile_out == 0:
+        # even a one-row tile blows the VMEM budget (very wide image after
+        # the channel pad): XLA's grouped conv instead of a Mosaic failure
+        return lax.conv_general_dilated(
+            x, w.reshape(3, 3, 1, ch), (stride, stride),
+            ((0, 0), (0, 0)), rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=ch)
     if wd8 != wd or ch128 != ch:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, wd8 - wd), (0, ch128 - ch)))
         w = jnp.pad(w, ((0, 0), (0, 0), (0, ch128 - ch)))
         wd, ch = wd8, ch128
-
-    tile_out = _row_tile(h_out, wd, ch, eff, x.dtype.itemsize)
     tile_in = tile_out + eff - 1
     kernel = functools.partial(_dw_halo_kernel, taps=taps, tile_out=tile_out,
                                tile_in=tile_in, w_out=w_out, ch=ch)

@@ -47,8 +47,13 @@ def main():
     dataset.list_inputs = list_inputs
     dataset.update_labelled_queries(list_merged)
 
+    # variable-size pools (VOC) run bucketed: mixed shapes batch into <=2
+    # padded XLA programs (driver parity; reference sweeps bs-1 per image)
+    bucket = args.stride_total \
+        if getattr(dataset, "variable_size", False) else None
     loader = Loader(dataset, args.pool_batch_size, mode="query",
-                    n_workers=args.n_workers, human_labels=True)
+                    n_workers=args.n_workers, human_labels=True,
+                    bucket_stride=bucket, pad_label=args.ignore_index)
     nth_query = len(prev_files)
     qs = QuerySelector(args, loader, model)
     dict_queries = qs(nth_query=nth_query, params=params,

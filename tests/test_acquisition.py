@@ -173,3 +173,105 @@ def test_mc_dropout_hard_vote():
                       "y": np.zeros((1, 6, 6), np.int32)},
                      jax.random.PRNGKey(2))
     assert len(set(np.asarray(idx2)[0].tolist())) == 3
+
+
+def test_select_topk_padded_pool_candidate_parity():
+    """Bucket padding must not inflate the candidate pool: the reference
+    computes k = int(h*w * top_n_percent) from the TRUE image area
+    (query.py:36). A 10x10 image padded into a 16x16 bucket must draw its
+    picks from the same top-k candidate set as the unpadded run, and never
+    from the pad region."""
+    rng = np.random.default_rng(7)
+    h, w, bh, bw = 10, 10, 16, 16
+    uc_true = rng.random((h, w)).astype(np.float32)  # entropy-like
+    uc_pad = np.zeros((bh, bw), np.float32)
+    uc_pad[:h, :w] = uc_true
+    pad = np.ones((bh, bw), bool)
+    pad[:h, :w] = False
+
+    n_pixels, pct = 4, 0.2
+    k_true = int(h * w * pct)  # 20
+    # the true candidate set: top-20 scores of the true image
+    order = np.argsort(uc_true.ravel())[::-1]
+    cand = set(order[:k_true].tolist())
+
+    for seed in range(5):
+        idx_pad = np.asarray(_select_topk(
+            jnp.asarray(uc_pad.ravel()), jax.random.PRNGKey(seed),
+            strategy="entropy", n_pixels=n_pixels, top_n_percent=pct,
+            reverse_order=False, hw=(bh, bw),
+            pad_mask=jnp.asarray(pad.ravel()),
+            true_n=jnp.int32(h * w)))
+        assert len(set(idx_pad.tolist())) == n_pixels
+        ys, xs = idx_pad // bw, idx_pad % bw
+        assert (ys < h).all() and (xs < w).all(), "picked a pad pixel"
+        # map bucket-flat -> true-flat and check candidate membership
+        flat_true = ys * w + xs
+        assert set(flat_true.tolist()) <= cand, (
+            "pick outside the true-area top-k candidate set")
+
+
+def test_select_topk_padded_random_strategy_stays_in_image():
+    """The random strategy must never pick (or count candidates from) the
+    pad region."""
+    bh, bw, h, w = 12, 12, 6, 9
+    uc = np.random.default_rng(0).random((bh, bw)).astype(np.float32)
+    pad = np.ones((bh, bw), bool)
+    pad[:h, :w] = False
+    for seed in range(4):
+        idx = np.asarray(_select_topk(
+            jnp.asarray(uc.ravel()), jax.random.PRNGKey(seed),
+            strategy="random", n_pixels=5, top_n_percent=0.3,
+            reverse_order=False, hw=(bh, bw),
+            pad_mask=jnp.asarray(pad.ravel()), true_n=jnp.int32(h * w)))
+        ys, xs = idx // bw, idx % bw
+        assert (ys < h).all() and (xs < w).all()
+
+
+def test_select_topk_reverse_order_padded():
+    """reverse_order: the random candidate subset is drawn among the TRUE
+    image pixels only (reference samples over range(h*w), query.py:39)."""
+    bh, bw, h, w = 12, 12, 8, 8
+    uc = np.random.default_rng(1).random((bh, bw)).astype(np.float32)
+    pad = np.ones((bh, bw), bool)
+    pad[:h, :w] = False
+    for seed in range(4):
+        idx = np.asarray(_select_topk(
+            jnp.asarray(uc.ravel()), jax.random.PRNGKey(seed),
+            strategy="margin_sampling", n_pixels=3, top_n_percent=0.5,
+            reverse_order=True, hw=(bh, bw),
+            pad_mask=jnp.asarray(pad.ravel()), true_n=jnp.int32(h * w)))
+        ys, xs = idx // bw, idx % bw
+        assert (ys < h).all() and (xs < w).all()
+        assert len(set(idx.tolist())) == 3
+
+
+def test_score_fn_picked_valid_masks_spilled_picks():
+    """An image with fewer candidates than n_pixels spills picks into
+    excluded pixels; stats must flag them via picked_valid."""
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, mc_dropout_on=False, upsample=True):
+            return {"pred": nn.Conv(4, (1, 1), name="cls")(x), "emb": x}
+
+    model = Tiny()
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (1, 6, 6, 3), dtype=np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 6, 3)))
+    excluded = np.ones((1, 6, 6), bool)
+    excluded[0, 0, :3] = False  # only 3 pickable pixels, n_pixels=5
+    score_fn = make_score_fn(model, strategy="margin_sampling", n_classes=4,
+                             mean=[0.5] * 3, std=[0.25] * 3, n_pixels=5,
+                             top_n_percent=0.0, reverse_order=False,
+                             ignore_index=11)
+    idx, stats = score_fn(variables["params"], {},
+                          {"x": x, "excluded": excluded,
+                           "y": np.zeros((1, 6, 6), np.int32)},
+                          jax.random.PRNGKey(0))
+    ok = np.asarray(stats["picked_valid"])[0]
+    assert ok.sum() == 3
+    picked = np.asarray(idx)[0]
+    good = {int(i) for i, v in zip(picked, ok) if v}
+    assert good == {0, 1, 2}

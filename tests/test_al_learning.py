@@ -89,9 +89,10 @@ def test_final_miou_is_real_learning(curves):
 def test_margin_beats_random(curves):
     margin, random = curves
     # identical seeds, data, and schedule; only the acquisition differs.
-    # The confusable-pair design gives uncertainty sampling a real edge
-    # (measured margin 0.185 vs random 0.155)
-    assert margin[-1] > random[-1] - 1e-3, (
-        f"margin {margin} vs random {random}")
+    # The confusable-pair design gives uncertainty sampling a real edge —
+    # a STRICT gap is asserted so this evidence cannot decay into a tie
+    # (measured r3: margin 0.196 vs random 0.163 at the final round)
+    assert margin[-1] > random[-1] + 0.01, (
+        f"margin no longer beats random: {margin} vs {random}")
     assert all(m >= r - 0.02 for m, r in zip(margin, random)), (
         f"margin fell behind mid-curve: {margin} vs {random}")

@@ -49,3 +49,32 @@ def test_orbax_overwrite_on_improvement(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(got_p)[0]),
         np.asarray(jax.tree.leaves(p2)[0]))
+
+
+def test_orbax_crash_safety_keeps_previous_step(tmp_path):
+    """A save never deletes the previous checkpoint until the new one is
+    durable: each save goes to a fresh committed step dir, and pruning only
+    happens on the NEXT save after wait_until_finished."""
+    import os
+
+    from pixelpick_tpu.engine.checkpoint import _orbax_steps
+
+    path = str(tmp_path / "best.ckpt")
+    p1, s1 = _tree(0)
+    p2, s2 = _tree(2)
+    p3, s3 = _tree(3)
+    save_checkpoint(path, p1, s1, backend="orbax")
+    save_checkpoint(path, p2, s2, backend="orbax")
+    wait_for_checkpoints()
+    root = os.path.abspath(path) + ".orbax"
+    # both steps may coexist right after the second save; a third save
+    # prunes everything but the newest durable step
+    assert _orbax_steps(root)[-1] == 1
+    save_checkpoint(path, p3, s3, backend="orbax")
+    wait_for_checkpoints()
+    steps = _orbax_steps(root)
+    assert steps[-1] == 2 and 0 not in steps
+    got_p, _ = load_checkpoint(path, *_tree(1))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(got_p)[0]),
+        np.asarray(jax.tree.leaves(p3)[0]))

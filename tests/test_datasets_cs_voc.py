@@ -118,3 +118,48 @@ def test_voc_dataset_and_label_queries(tmp_path):
     qs = qds.query_sample(0)
     assert max(qs["x"].shape[:2]) == 100
     assert qs["excluded"].shape == qs["y"].shape
+
+
+def test_voc_augmented_dataset_path(tmp_path):
+    """--use_augmented_dataset: {root}/images,{root}/annot name-matched
+    pairs (reference voc.py:214-226); dir_augmented_dataset defaults under
+    the VOC root (args.py:133) and is overridable."""
+    rng = np.random.default_rng(5)
+    root = _make_voc(str(tmp_path / "voc"))
+    aug = f"{root}/VOCdevkit/VOC2012/train_aug"
+    os.makedirs(f"{aug}/images", exist_ok=True)
+    os.makedirs(f"{aug}/annot", exist_ok=True)
+    for i in range(4):
+        nm = f"aug_{i:04d}"
+        Image.fromarray(rng.integers(0, 255, (50, 66, 3), dtype=np.uint8)
+                        ).save(f"{aug}/images/{nm}.jpg")
+        lab = rng.integers(0, 21, (50, 66)).astype(np.uint8)
+        Image.fromarray(lab).save(f"{aug}/annot/{nm}.png")
+
+    args = default_args("voc", dir_dataset=root,
+                        dir_checkpoints=str(tmp_path / "ck"),
+                        n_pixels_by_us=4, size_base=100, size_crop=64,
+                        use_augmented_dataset=True)
+    # the default derives from the VOC root (reference args.py:133)
+    assert args.dir_augmented_dataset == \
+        os.path.join(root, "VOCdevkit", "VOC2012", "train_aug")
+    os.makedirs(args.dir_checkpoints, exist_ok=True)
+    from pixelpick_tpu.data.voc import VOC2012Segmentation
+
+    ds = VOC2012Segmentation(args)
+    assert len(ds) == 4  # the augmented split, not train.txt
+    assert ds.n_pixels_total == 4 * 4
+    s = ds.train_sample(0, epoch=1)
+    assert s["x"].shape == (64, 64, 3)
+    # val still comes from the standard split
+    ds_val = VOC2012Segmentation(args, val=True)
+    assert len(ds_val) == 3
+
+    # a missing augmented dir raises a clear error, not an AttributeError
+    args2 = default_args("voc", dir_dataset=root,
+                         dir_checkpoints=str(tmp_path / "ck2"),
+                         use_augmented_dataset=True,
+                         dir_augmented_dataset=str(tmp_path / "nope"))
+    os.makedirs(args2.dir_checkpoints, exist_ok=True)
+    with pytest.raises(FileNotFoundError):
+        VOC2012Segmentation(args2)

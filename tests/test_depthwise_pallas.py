@@ -58,3 +58,21 @@ def test_uneven_rows_tile_divisor():
     ref = depthwise_reference(x, w, 1, 2, 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_vmem_overflow_falls_back_to_xla(monkeypatch):
+    """If even a one-row tile exceeds the VMEM budget, the op must fall back
+    to lax.conv instead of compiling an oversized Mosaic scratch."""
+    import pixelpick_tpu.ops.depthwise as dw
+
+    monkeypatch.setattr(dw, "VMEM_BUDGET", 1024)  # force overflow
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 8, 16, 4)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 4)).astype(np.float32)
+    y = dw.depthwise_conv3x3(jnp.asarray(x), jnp.asarray(w), 1, 1, 1,
+                             interpret=True)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w).reshape(3, 3, 1, 4), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)

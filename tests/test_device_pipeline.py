@@ -152,7 +152,8 @@ def test_e2e_round_with_device_augment(tmp_path):
     from pixelpick_tpu.data.device_pipeline import DevicePipeline
     model.device_pipe = DevicePipeline(model.dataset, args)
     model()
-    assert model.dataset.n_pixels_total == 8 * 4 * 2
+    # init + rounds 0 and 1 (the final round labels too, model.py:82-87)
+    assert model.dataset.n_pixels_total == 8 * 4 * 3
 
 
 def test_variable_size_staging_voc(tmp_path):

@@ -34,6 +34,11 @@ def test_round_artifacts_exist(al_run):
     assert os.path.isfile(f"{d}/0_query/queries.pkl")
     assert os.path.isfile(f"{d}/1_query/queries.pkl")
     assert os.path.isfile(f"{d}/0_query/query_stats.pkl")
+    # the reference queries+labels BEFORE breaking on the final stage
+    # (model.py:82-87), so the last round's picks exist on disk and
+    # resume-by-rglob counts rounds identically
+    assert os.path.isfile(f"{d}/2_query/queries.pkl")
+    assert os.path.isfile(f"{d}/1_query/query_stats.pkl")
     # training artifacts per stage
     for stage in ("0_query", "1_query"):
         assert os.path.isfile(f"{d}/{stage}/log_train.txt")
@@ -47,8 +52,10 @@ def test_round_artifacts_exist(al_run):
 
 def test_query_budget_grows(al_run):
     args, model = al_run
-    # 8 images x 5 px initial + 8 x 5 px from round 0 = 80
-    assert model.dataset.n_pixels_total == 8 * 5 * 2
+    # 8 images x 5 px initial + 8 x 5 px from each of rounds 0 and 1
+    # (the reference labels the final round's picks too before breaking,
+    # model.py:82-87)
+    assert model.dataset.n_pixels_total == 8 * 5 * 3
 
 
 def test_round1_picks_disjoint_from_initial(al_run):

@@ -16,8 +16,9 @@ def test_mc_dropout_entropy_round(tmp_path):
 
     model = ALModel(args)
     model.dataset.crop_size = (48, 64)
-    model()  # 1 stage (budget == per-round picks)
-    assert model.dataset.n_pixels_total == 8 * 4
+    model()  # 1 stage (budget == per-round picks); the single stage still
+    # queries+labels before breaking (model.py:82-87)
+    assert model.dataset.n_pixels_total == 8 * 4 * 2
 
 
 def test_reverse_order_round(tmp_path):
@@ -29,7 +30,7 @@ def test_reverse_order_round(tmp_path):
     model = ALModel(args)
     model.dataset.crop_size = (48, 64)
     model()
-    assert model.dataset.n_pixels_total == 8 * 4 * 2
+    assert model.dataset.n_pixels_total == 8 * 4 * 3
 
 
 def test_fully_supervised_mode(tmp_path):

@@ -54,3 +54,45 @@ def test_gradients_flow_through_pallas_model():
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_conv3x3_matmul_matches_lax_conv():
+    """Conv3x3MatMul (tap-decomposed matmuls) == nn.Conv numerically, same
+    param layout, incl. dilation (ASPP) and bias."""
+    import flax.linen as nn
+    from pixelpick_tpu.models.layers import Conv3x3MatMul
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 10, 12, 7)), jnp.float32)
+    for dil, bias in ((1, False), (2, False), (1, True)):
+        m = Conv3x3MatMul(features=5, dilation=dil, use_bias=bias)
+        v = m.init(jax.random.PRNGKey(0), x)
+        ref = nn.Conv(5, (3, 3), padding=((dil, dil), (dil, dil)),
+                      kernel_dilation=(dil, dil), use_bias=bias,
+                      precision="highest")
+        y = m.apply(v, x)
+        y_ref = ref.apply({"params": dict(v["params"])}, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-5)
+
+
+def test_conv3x3_matmul_in_deeplab_matches_xla(monkeypatch):
+    """The whole DeepLab forward under set_conv3x3_impl('matmul') equals the
+    lax.conv build with identical params."""
+    import pixelpick_tpu.models.layers as layers
+    from pixelpick_tpu.models.deeplab import DeepLab
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 32, 32, 3)),
+                    jnp.float32)
+    model = DeepLab(n_classes=5)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    out_xla = model.apply(v, x, train=False)
+
+    monkeypatch.setattr(layers, "_CONV3X3_IMPL", "matmul")
+    model2 = DeepLab(n_classes=5)
+    v2 = model2.init(jax.random.PRNGKey(0), x, train=False)
+    # identical param tree (same names/shapes) regardless of the impl
+    assert jax.tree.structure(v2["params"]) == jax.tree.structure(v["params"])
+    out_mm = model2.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_mm["pred"]),
+                               np.asarray(out_xla["pred"]), atol=2e-4)

@@ -73,3 +73,138 @@ def test_shard_batch_helpers():
     # non-divisible leading axis falls back to replication
     assert out["odd"].sharding.spec == ()
     assert get_mesh(n_devices=1) is None
+
+
+def _tiny_seg_model(n_classes=4):
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, mc_dropout_on=False, upsample=True):
+            h = nn.Conv(8, (3, 3), padding=1, name="c1")(x)
+            pred = nn.Conv(n_classes, (1, 1), name="cls")(nn.relu(h))
+            return {"pred": pred, "emb": h}
+
+    return Tiny()
+
+
+def test_sharded_pool_sweep_matches_single_device():
+    """P2 (SURVEY §2.2): the batched acquisition kernel over a mesh-sharded
+    pool batch picks the SAME pixels as the unsharded run — the pool sweep
+    is embarrassingly parallel and sharding must not change acquisitions."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from pixelpick_tpu.active.acquisition import make_score_fn
+    from pixelpick_tpu.parallel.mesh import get_mesh, shard_batch
+
+    model = _tiny_seg_model()
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (16, 16, 24, 3), dtype=np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 24, 3)))
+    batch = {
+        "x": x,
+        "y": rng.integers(0, 4, (16, 16, 24)).astype(np.int32),
+        "excluded": rng.random((16, 16, 24)) < 0.1,
+    }
+    score_fn = make_score_fn(model, strategy="margin_sampling", n_classes=4,
+                             mean=[0.5] * 3, std=[0.25] * 3, n_pixels=6,
+                             top_n_percent=0.05, reverse_order=False,
+                             ignore_index=11)
+    key = jax.random.PRNGKey(3)
+    idx_1, stats_1 = score_fn(variables["params"], {}, batch, key)
+
+    mesh = get_mesh(n_devices=8)
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.spec == ("data",)
+    idx_8, stats_8 = score_fn(variables["params"], {}, sharded, key)
+
+    np.testing.assert_array_equal(np.asarray(idx_1), np.asarray(idx_8))
+    np.testing.assert_allclose(np.asarray(stats_1["entropy"]),
+                               np.asarray(stats_8["entropy"]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(stats_1["labels"]),
+                                  np.asarray(stats_8["labels"]))
+
+
+def test_sharded_bucketed_sweep_matches_single_device():
+    """Same pick-for-pick guarantee on the bucketed (variable-size) path:
+    per-image true sizes ride along and padding stays unpickable."""
+    from pixelpick_tpu.active.acquisition import make_score_fn
+    from pixelpick_tpu.parallel.mesh import get_mesh, shard_batch
+
+    model = _tiny_seg_model()
+    rng = np.random.default_rng(1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 24, 3)))
+    hw = np.tile(np.array([[12, 20]], np.int32), (8, 1))
+    batch = {
+        "x": rng.integers(0, 255, (8, 16, 24, 3), dtype=np.uint8),
+        "y": rng.integers(0, 4, (8, 16, 24)).astype(np.int32),
+        "excluded": np.zeros((8, 16, 24), bool),
+        "hw": hw,
+    }
+    batch["excluded"][:, 12:, :] = True
+    batch["excluded"][:, :, 20:] = True
+    score_fn = make_score_fn(model, strategy="entropy", n_classes=4,
+                             mean=[0.5] * 3, std=[0.25] * 3, n_pixels=5,
+                             top_n_percent=0.1, reverse_order=False,
+                             ignore_index=11)
+    key = jax.random.PRNGKey(9)
+    idx_1, _ = score_fn(variables["params"], {}, batch, key)
+    idx_8, _ = score_fn(variables["params"], {},
+                        shard_batch(batch, get_mesh(n_devices=8)), key)
+    np.testing.assert_array_equal(np.asarray(idx_1), np.asarray(idx_8))
+    # no pick lands in the pad region
+    ys, xs = np.asarray(idx_1) // 24, np.asarray(idx_1) % 24
+    assert (ys < 12).all() and (xs < 20).all()
+
+
+def test_sharded_eval_step_matches_single_device():
+    """Validation sharded over the mesh: identical confusion matrix."""
+    from pixelpick_tpu.engine.trainer import make_eval_step
+    from pixelpick_tpu.parallel.mesh import get_mesh, shard_batch
+
+    model = _tiny_seg_model()
+    rng = np.random.default_rng(2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 24, 3)))
+    batch = {
+        "x": rng.integers(0, 255, (8, 16, 24, 3), dtype=np.uint8),
+        "y": rng.integers(0, 4, (8, 16, 24)).astype(np.int32),
+    }
+    eval_fn = make_eval_step(model, n_classes=4, mean=[0.5] * 3,
+                             std=[0.25] * 3)
+    hist_1, _ = eval_fn(variables["params"], {}, batch)
+    hist_8, _ = eval_fn(variables["params"], {},
+                        shard_batch(batch, get_mesh(n_devices=8)))
+    np.testing.assert_array_equal(np.asarray(hist_1), np.asarray(hist_8))
+
+
+def test_device_pipeline_emits_mesh_sharded_batches(tmp_path):
+    """--device_augment composes with data parallelism: the staged pipeline
+    emits batches sharded over the ('data',) mesh with identical content."""
+    from tests.helpers import synthetic_args
+    from pixelpick_tpu.data import get_dataset
+    from pixelpick_tpu.data.device_pipeline import DevicePipeline
+    from pixelpick_tpu.parallel.mesh import get_mesh
+
+    args = synthetic_args(tmp_path, n_pixels_by_us=4, batch_size=8)
+    ds = get_dataset(args, val=False, query=False)
+    ds.crop_size = (48, 64)
+
+    pipe_plain = DevicePipeline(ds, args)
+    pipe_plain.set_queries(ds.queries)
+    pipe_mesh = DevicePipeline(ds, args, mesh=get_mesh(n_devices=8))
+    pipe_mesh.set_queries(ds.queries)
+
+    idxs = np.arange(8)
+    key = jax.random.PRNGKey(5)
+    b0 = pipe_plain.sample_batch(idxs, key)
+    b1 = pipe_mesh.sample_batch(idxs, key)
+    assert b1["x"].sharding.spec == ("data",)
+    np.testing.assert_allclose(np.asarray(b0["x"]), np.asarray(b1["x"]),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(b0["coords"]),
+                                  np.asarray(b1["coords"]))
+    np.testing.assert_array_equal(np.asarray(b0["valid"]),
+                                  np.asarray(b1["valid"]))
+
+    # a non-divisible remainder batch still works (uneven GSPMD shards)
+    b2 = pipe_mesh.sample_batch(np.arange(6), jax.random.PRNGKey(6))
+    assert np.asarray(b2["x"]).shape[0] == 6

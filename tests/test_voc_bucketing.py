@@ -121,5 +121,88 @@ def test_voc_e2e_al_round(tmp_path):
         with Image.open(model.dataset.list_inputs[i]) as im:
             w, h = im.size
         assert q.shape == compute_base_size(h, w, args.size_base)
-    # initial 4/img + round-0 picks 4/img
-    assert model.dataset.n_pixels_total == 3 * 4 * 2
+    # initial 4/img + picks from rounds 0 and 1 (the final round labels
+    # too before breaking, model.py:82-87)
+    assert model.dataset.n_pixels_total == 3 * 4 * 3
+
+
+def test_query_cli_bucketed_mixed_shapes(tmp_path, monkeypatch):
+    """The standalone query CLI on a variable-size pool: mixed image shapes
+    at pool_batch_size>1 must bucket (collate would np.stack-crash
+    otherwise) and every pick must land inside its true image."""
+    import pickle as pkl
+    import shutil
+    import sys
+
+    import jax
+    from pixelpick_tpu.active import codec
+    from pixelpick_tpu.data.voc import compute_base_size
+    from pixelpick_tpu.engine.checkpoint import save_checkpoint
+    from pixelpick_tpu.models import get_model, init_model
+
+    args = _args(tmp_path)
+    root = args.dir_dataset
+    base = f"{root}/VOCdevkit/VOC2012/JPEGImages"
+    # the CLI rewrites pool paths to {dir_dataset}/train/{fname}
+    # (reference query.py:388-410)
+    os.makedirs(f"{root}/train", exist_ok=True)
+    rng = np.random.default_rng(3)
+    enc = {}
+    for fn in sorted(os.listdir(base)):
+        shutil.copy(f"{base}/{fn}", f"{root}/train/{fn}")
+        with Image.open(f"{base}/{fn}") as im:
+            w, h = im.size
+        bh, bw = compute_base_size(h, w, args.size_base)
+        ys = rng.integers(0, bh, 3)
+        xs = rng.integers(0, bw, 3)
+        enc[f"some/old/run/{fn}"] = {
+            "height": bh, "width": bw, "x_coords": xs, "y_coords": ys,
+            "category_id": rng.integers(0, 21, 3).tolist(),
+        }
+    os.makedirs(f"{args.dir_checkpoints}/0_query", exist_ok=True)
+    with open(f"{args.dir_checkpoints}/0_query/queries.pkl", "wb") as f:
+        pkl.dump(enc, f)
+
+    model = get_model(args)
+    params, stats = init_model(model, jax.random.PRNGKey(0), (64, 64))
+    ckpt = f"{args.dir_checkpoints}/best.ckpt"
+    save_checkpoint(ckpt, params, stats)
+
+    import query as query_cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "query.py", "--dataset_name", "voc",
+        "--dir_datasets", os.path.dirname(root),
+        "--dir_checkpoints", args.dir_checkpoints,
+        "--p_state_dict", ckpt, "--n_pixels_by_us", "4",
+        "--top_n_percent", "0.05", "--n_workers", "2",
+        "--pool_batch_size", "2",
+    ])
+    # dataset block would overwrite dir_dataset; point dir_datasets at the
+    # parent and name the dir VOC2012-compatible via a direct override
+    monkeypatch.setenv("PYTHONHASHSEED", "0")
+    import pixelpick_tpu.config as cfg
+
+    orig_finalize = cfg.finalize_args
+
+    def finalize(a, write_files=True):
+        a.dir_dataset = root
+        a = orig_finalize(a, write_files=write_files)
+        a.size_base = 100  # after: the dataset block resets it to 400
+        a.size_crop = 64
+        return a
+
+    monkeypatch.setattr(cfg, "finalize_args", finalize)
+    monkeypatch.setattr(query_cli, "Arguments", cfg.Arguments)
+    query_cli.main()
+
+    out = f"{args.dir_checkpoints}/1_query/queries.pkl"
+    assert os.path.isfile(out)
+    with open(out, "rb") as f:
+        picked = pkl.load(f)
+    assert len(picked) == 3
+    for p_img, info in picked.items():
+        bh, bw = info["height"], info["width"]
+        assert len(info["x_coords"]) == 4
+        assert (np.asarray(info["y_coords"]) < bh).all()
+        assert (np.asarray(info["x_coords"]) < bw).all()
