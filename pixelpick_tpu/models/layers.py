@@ -200,10 +200,15 @@ def conv(features: int, kernel: Tuple[int, int], stride=1, *, dilation=1,
     if (_DEPTHWISE_IMPL == "pallas" and tuple(kernel) == (3, 3)
             and groups == features and not use_bias
             and padding in ("VALID", ((0, 0), (0, 0)))):
-        d = dilation if isinstance(dilation, int) else dilation[0]
         return PallasDepthwise(features=features, stride=stride_t[0],
                                dilation=d, dtype=dtype,
                                kernel_init=kernel_init, name=name)
+    if (_DEPTHWISE_IMPL == "xla_nowgrad" and tuple(kernel) == (3, 3)
+            and groups == features and not use_bias
+            and padding in ("VALID", ((0, 0), (0, 0)))):
+        return DepthwiseNoWgrad(features=features, stride=stride_t[0],
+                                dilation=d, dtype=dtype,
+                                kernel_init=kernel_init, name=name)
     # f32 mode must use HIGHEST precision: JAX's default conv precision runs
     # reduced-precision passes (observable ~1e-2 drift vs torch f32, verified
     # in tests/test_model_parity.py). bf16 mode keeps the fast default path.
@@ -247,10 +252,12 @@ _CONV3X3_IMPL = "xla"
 
 
 def set_depthwise_impl(name: str) -> None:
-    """'xla' (grouped conv, default) or 'pallas' (ops/depthwise.py kernel).
-    Process-global; set before model tracing (--pallas_dw does this)."""
+    """'xla' (grouped conv, default), 'pallas' (ops/depthwise.py kernel),
+    'xla_nowgrad' (DIAGNOSTIC: kernel stop-gradient — no depthwise wgrad;
+    for cost attribution only, never for training). Process-global; set
+    before model tracing (--pallas_dw does this)."""
     global _DEPTHWISE_IMPL
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", "xla_nowgrad"), name
     _DEPTHWISE_IMPL = name
 
 
@@ -286,6 +293,30 @@ class PallasDepthwise(nn.Module):
         return depthwise_conv3x3(
             x.astype(self.dtype), kernel[:, :, 0, :].astype(self.dtype),
             self.stride, self.dilation, 0, interpret)
+
+
+class DepthwiseNoWgrad(nn.Module):
+    """DIAGNOSTIC ONLY: grouped 3x3 conv whose kernel is stop-gradient'ed,
+    removing the depthwise weight-gradient convs from the backward pass so
+    their cost can be measured by subtraction. Same param layout as
+    ``nn.Conv``; never use for actual training."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = he_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, 1, self.features), jnp.float32)
+        k = jax.lax.stop_gradient(kernel).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, (self.stride, self.stride),
+            ((0, 0), (0, 0)), rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.features)
 
 
 class Dropout2d(nn.Module):

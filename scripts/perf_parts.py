@@ -1,0 +1,247 @@
+"""Component-level TPU timing of the train step's pieces.
+
+Times jitted sub-programs (backbone fwd, ASPP fwd, head fwd, head fwd+bwd,
+full fwd, full train step) with the chained-slope protocol so enqueue
+pipelining can't distort the numbers. The chain trick for pure tensor fns:
+``x + 0.0 * prev_scalar`` — XLA does not fold float ``0*x`` (NaN/Inf
+semantics), so each step truly depends on the previous one.
+
+Usage: python scripts/perf_parts.py [--parts all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import _timeit_chained, _setup, _train_batch  # noqa: E402
+
+B = 48
+HW = (360, 480)
+
+
+def _chain_time(fn, x0):
+    """fn: x -> tensor. Chained by injecting a 0*scalar dependence."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(x, prev_scalar):
+        out = fn(x + (0.0 * prev_scalar).astype(x.dtype))
+        return jnp.sum(out[..., :1].astype(jnp.float32))
+
+    def wrapped(i, carry):
+        return step(x0, carry)
+
+    carry0 = step(x0, jnp.float32(0.0))
+    return _timeit_chained(wrapped, carry0)
+
+
+def main():
+    from pixelpick_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parts", type=str, default="all")
+    a = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from pixelpick_tpu.models.mobilenet_v2 import MobileNetV2
+    from pixelpick_tpu.models.aspp import ASPP
+    from pixelpick_tpu.models.deeplab import SegmentHead
+
+    args, model, params, batch_stats = _setup("bf16", HW, bn_group_size=4)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    results = {}
+    want = a.parts.split(",") if a.parts != "all" else [
+        "backbone_fwd", "aspp_fwd", "head_fwd", "head_train",
+        "full_fwd", "backbone_train"]
+
+    def report(name, sec, flops_g=None):
+        r = {"ms_per_step": 1000 * sec, "ms_per_img": 1000 * sec / B}
+        if flops_g:
+            r["tflops"] = flops_g * B / sec / 1000
+        results[name] = r
+        print(name, json.dumps(r), flush=True)
+
+    bb = MobileNetV2(mc_dropout=False, dtype=jnp.bfloat16, bn_groups=4)
+    x_img = jnp.asarray(rng.standard_normal((B, *HW, 3)), jnp.bfloat16)
+    vb = bb.init({"params": key}, x_img[:1], train=True)
+
+    if "backbone_fwd" in want:
+        sec = _chain_time(
+            lambda x: bb.apply(vb, x, train=False)[0], x_img)
+        report("backbone_fwd", sec, flops_g=1.0)
+
+    if "backbone_train" in want:
+        # xla_nowgrad: the depthwise WGRAD convs hit an XLA-TPU
+        # batch_group_count compile rejection when traced standalone; the
+        # full-model diff puts their cost at ~6.5 ms/step anyway (probe
+        # 'nodwgrad'), so measure everything else here and add that.
+        import pixelpick_tpu.models.layers as layers
+
+        layers.set_depthwise_impl("xla_nowgrad")
+        try:
+            bb2 = MobileNetV2(mc_dropout=False, dtype=jnp.bfloat16,
+                              bn_groups=4)
+            vb2 = bb2.init({"params": key}, x_img[:1], train=True)
+
+            def bb_loss(p, x):
+                (h, l), mut = bb2.apply({"params": p}, x, train=True,
+                                        mutable=["batch_stats"])
+                return jnp.sum(jnp.square(h.astype(jnp.float32))) \
+                    + jnp.sum(jnp.square(l.astype(jnp.float32)))
+
+            grad_fn = jax.grad(bb_loss)
+
+            @jax.jit
+            def step(x, prev):
+                g = grad_fn(vb2["params"], x + (0.0 * prev).astype(x.dtype))
+                return sum(jnp.sum(l.astype(jnp.float32))
+                           for l in jax.tree.leaves(g))
+
+            carry0 = step(x_img, jnp.float32(0))
+            sec = _timeit_chained(lambda i, c: step(x_img, c), carry0)
+            report("backbone_train_nodwgrad", sec, flops_g=3.0)
+        finally:
+            layers.set_depthwise_impl("xla")
+
+    h16 = (HW[0] // 16, HW[1] // 16)
+    x_high = jnp.asarray(rng.standard_normal((B, *h16, 320)), jnp.bfloat16)
+    aspp = ASPP(dtype=jnp.bfloat16, bn_groups=4)
+    va = aspp.init({"params": key, "dropout": key}, x_high[:1], train=True)
+
+    if "aspp_fwd" in want:
+        sec = _chain_time(lambda x: aspp.apply(va, x, train=False), x_high)
+        report("aspp_fwd", sec, flops_g=3.6)
+
+    h4 = (HW[0] // 4, HW[1] // 4)
+    x_head = jnp.asarray(rng.standard_normal((B, *h4, 304)), jnp.bfloat16)
+    head = SegmentHead(n_classes=11, dtype=jnp.bfloat16, bn_groups=4)
+    vh = head.init({"params": key, "dropout": key}, x_head[:1], train=True)
+
+    if "head_fwd" in want:
+        sec = _chain_time(
+            lambda x: head.apply(vh, x, train=False)[1], x_head)
+        report("head_fwd", sec, flops_g=27.9)
+
+    if "head_train" in want:
+        def head_loss(p, x, k):
+            (emb, pred), mut = head.apply(
+                {"params": p}, x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k})
+            # square: non-degenerate cotangent (sum's ones-cotangent lets
+            # XLA algebraically collapse the backward)
+            return jnp.sum(jnp.square(pred.astype(jnp.float32)))
+
+        # grads w.r.t. params AND input — the real step backprops through
+        # the head into the backbone, so conv1's dgrad must be counted
+        ghead = jax.jit(jax.grad(head_loss, argnums=(0, 1)))
+
+        @jax.jit
+        def step(x, prev):
+            g = ghead(vh["params"], x + (0.0 * prev).astype(x.dtype), key)
+            return sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree.leaves(g))
+
+        carry0 = step(x_head, jnp.float32(0))
+        sec = _timeit_chained(lambda i, c: step(x_head, c), carry0)
+        report("head_train", sec, flops_g=27.9 * 3)
+
+    if "train_sumloss" in want or "train_sqloss" in want \
+            or "train_gatherloss" in want:
+        x_u8 = jnp.asarray(rng.integers(0, 255, (B, *HW, 3)), jnp.uint8)
+
+        def make_probe(loss_of_out):
+            def loss_fn(p, x, k):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, x,
+                    train=True, upsample=False, rngs={"dropout": k},
+                    mutable=["batch_stats"])
+                return loss_of_out(out, x)
+
+            gfn = jax.grad(loss_fn)
+
+            @jax.jit
+            def step(x, prev):
+                xx = (x.astype(jnp.float32) + 0.0 * prev) / 255.0
+                g = gfn(params, xx, key)
+                # consume EVERY grad leaf — anything unread is dead code to
+                # XLA and its wgrad chain silently vanishes from the timing
+                return sum(jnp.sum(l.astype(jnp.float32))
+                           for l in jax.tree.leaves(g))
+
+            carry0 = step(x_u8, jnp.float32(0))
+            return _timeit_chained(lambda i, c: step(x_u8, c), carry0)
+
+        if "train_sumloss" in want:
+            # WARNING: d(sum)/dpred == ones lets XLA simplify the backward
+            # algebraically — reads ~2x faster than any real loss. Kept only
+            # to demonstrate the trap.
+            report("train_sumloss", make_probe(
+                lambda out, x: jnp.sum(out["pred"].astype(jnp.float32))),
+                flops_g=32.5 * 3)
+        if "train_sqloss" in want:
+            # non-degenerate cotangent: the honest model fwd+bwd cost
+            report("train_sqloss", make_probe(
+                lambda out, x: jnp.sum(
+                    jnp.square(out["pred"].astype(jnp.float32)))),
+                flops_g=32.5 * 3)
+        if "train_gatherloss" in want:
+            from pixelpick_tpu.engine.trainer import sparse_ce_and_hist
+
+            batch_g = _train_batch(rng, B, HW, args.n_classes)
+
+            def gather_loss(out, x):
+                loss, hist = sparse_ce_and_hist(
+                    out["pred"], batch_g["coords"], batch_g["labels"],
+                    batch_g["valid"], HW, args.n_classes)
+                return loss
+
+            report("train_gatherloss", make_probe(gather_loss),
+                   flops_g=32.5 * 3)
+
+    if "train_ref" in want:
+        import jax as _jax
+        from pixelpick_tpu.engine.optim import make_optimizer
+        from pixelpick_tpu.engine.trainer import (
+            create_train_state, make_train_step)
+
+        tx = make_optimizer(args, params, iters_per_epoch=100)
+        state = create_train_state(jax.tree.map(jnp.array, params),
+                                   jax.tree.map(jnp.array, batch_stats), tx)
+        step = make_train_step(model, tx, n_classes=args.n_classes,
+                               mean=args.mean, std=args.std, donate=True)
+        batch = _train_batch(rng, B, HW, args.n_classes)
+        sec = _timeit_chained(
+            lambda i, s: step(s, batch, _jax.random.fold_in(key, i))[0],
+            state)
+        report("train_ref", sec, flops_g=32.5 * 3)
+
+    if "full_fwd" in want:
+        x_u8 = jnp.asarray(rng.integers(0, 255, (B, *HW, 3)), jnp.uint8)
+
+        @jax.jit
+        def fwd(x, prev):
+            xx = x.astype(jnp.float32) + 0.0 * prev
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              xx / 255.0, train=False, upsample=False)
+            return jnp.sum(out["pred"].astype(jnp.float32))
+
+        carry0 = fwd(x_u8, jnp.float32(0))
+        sec = _timeit_chained(lambda i, c: fwd(x_u8, c), carry0)
+        report("full_fwd", sec, flops_g=32.5)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

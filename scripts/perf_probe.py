@@ -27,7 +27,7 @@ sys.path.insert(0, ".")
 from bench import _timeit_chained, _setup, _train_batch, _pool_batch, K  # noqa: E402
 
 
-def time_train(precision, bn_groups, train_B, hw, conv3x3="xla"):
+def time_train(precision, bn_groups, train_B, hw, conv3x3="xla", dw="xla"):
     import jax
 
     import pixelpick_tpu.models.layers as layers
@@ -35,6 +35,7 @@ def time_train(precision, bn_groups, train_B, hw, conv3x3="xla"):
     from pixelpick_tpu.engine.trainer import create_train_state, make_train_step
 
     layers.set_conv3x3_impl(conv3x3)
+    layers.set_depthwise_impl(dw)
     try:
         args, model, params, batch_stats = _setup(precision, hw, bn_groups)
         import jax.numpy as jnp
@@ -53,6 +54,7 @@ def time_train(precision, bn_groups, train_B, hw, conv3x3="xla"):
                 "ms_per_img": 1000 * t / train_B}
     finally:
         layers.set_conv3x3_impl("xla")
+        layers.set_depthwise_impl("xla")
 
 
 def time_score(precision, pool_B, hw, conv3x3="xla"):
@@ -89,6 +91,7 @@ VARIANTS = {
     "base": lambda hw: time_train("bf16", 4, 48, hw),
     "mm": lambda hw: time_train("bf16", 4, 48, hw, conv3x3="matmul"),
     "bn0": lambda hw: time_train("bf16", 0, 48, hw),
+    "nodwgrad": lambda hw: time_train("bf16", 4, 48, hw, dw="xla_nowgrad"),
     "f32": lambda hw: time_train("f32", 0, 4, hw),
     "score": lambda hw: time_score("bf16", 32, hw),
     "score_mm": lambda hw: time_score("bf16", 32, hw, conv3x3="matmul"),
