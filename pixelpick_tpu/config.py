@@ -141,6 +141,16 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--pallas_dw", action="store_true", default=False,
                         help="use the Pallas depthwise-conv kernel "
                              "(ops/depthwise.py) instead of XLA's grouped conv")
+    parser.add_argument("--s2d_backbone",
+                        type=lambda s: s not in ("0", "false", "False"),
+                        default=False,
+                        help="evaluate the first 4 MobileNetV2 blocks in "
+                             "space-to-depth layout (exact rewrite, "
+                             "models/s2d_block.py) — fills the 128-lane "
+                             "VMEM tiles the 16-96-channel early blocks "
+                             "otherwise waste (experimental; measured by "
+                             "scripts/perf_probe.py before changing the "
+                             "default)")
     parser.add_argument("--conv3x3_matmul", action="store_true", default=False,
                         help="lower same-shape stride-1 3x3 convs (decoder "
                              "head, ASPP atrous branches) to 9 tap channel "

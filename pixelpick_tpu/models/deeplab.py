@@ -63,6 +63,7 @@ class DeepLab(nn.Module):
     mc_dropout2d_committee: bool = False  # see MobileNetV2 (fidelity flag)
     dtype: jnp.dtype = jnp.float32
     bn_groups: int = 0
+    s2d_until: int = 0  # see MobileNetV2 (space-to-depth early blocks)
 
     @nn.compact
     def __call__(self, x, train: bool = False, mc_dropout_on: bool = False,
@@ -71,7 +72,8 @@ class DeepLab(nn.Module):
             output_stride=self.output_stride, width_mult=self.width_mult,
             mc_dropout=self.mc_dropout, mc_dropout_p=self.mc_dropout_p,
             mc_dropout2d_committee=self.mc_dropout2d_committee,
-            dtype=self.dtype, bn_groups=self.bn_groups, name="backbone",
+            dtype=self.dtype, bn_groups=self.bn_groups,
+            s2d_until=self.s2d_until, name="backbone",
         )(x, train, mc_dropout_on)
 
         a = ASPP(self.output_stride, dtype=self.dtype,

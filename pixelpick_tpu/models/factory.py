@@ -24,6 +24,7 @@ def get_model(args):
                                            False),
             dtype=_dtype(args),
             bn_groups=bn_groups,
+            s2d_until=4 if getattr(args, "s2d_backbone", False) else 0,
         )
     if args.network_name == "FPN":
         from pixelpick_tpu.models.fpn import FPNSeg

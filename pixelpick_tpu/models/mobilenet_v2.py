@@ -105,11 +105,19 @@ class MobileNetV2(nn.Module):
     mc_dropout2d_committee: bool = False
     dtype: jnp.dtype = jnp.float32
     bn_groups: int = 0
+    # evaluate the first s2d_until blocks in space-to-depth layout (exact
+    # rewrite, models/s2d_block.py): the 180x240/90x120 blocks with 16-96
+    # channels waste most of every 128-lane VMEM tile and were measured at
+    # ~3-4x over the bandwidth roofline (scripts/perf_backbone.py). 0 = off.
+    s2d_until: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool, mc_dropout_on: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (high_level 1/16 320ch, low_level 1/4 24ch)."""
+        from pixelpick_tpu.models.s2d_block import InvertedResidualS2D
+        from pixelpick_tpu.ops.s2d import from_s2d, to_s2d
+
         plan, _ = block_plan(self.output_stride, self.width_mult)
 
         # stem: conv 3x3 stride 2, torch padding=1 (mobilenet_v2.py:7-12)
@@ -119,12 +127,32 @@ class MobileNetV2(nn.Module):
         h = relu6(h)
 
         low = None
+        in_s2d = False
         for i, (inp, oup, stride, dilation, t) in enumerate(plan):
-            h = InvertedResidual(inp, oup, stride, dilation, t,
-                                 dtype=self.dtype, bn_groups=self.bn_groups,
-                                 name=f"block_{i}")(h, train)
+            use_s2d = (i < self.s2d_until and dilation == 1
+                       and (in_s2d or (h.shape[1] % 2 == 0
+                                       and h.shape[2] % 2 == 0)))
+            if use_s2d:
+                if not in_s2d:
+                    h = to_s2d(h)
+                    in_s2d = True
+                h = InvertedResidualS2D(
+                    inp, oup, stride, t, dtype=self.dtype,
+                    bn_groups=self.bn_groups, name=f"block_{i}")(h, train)
+                if stride == 2:
+                    in_s2d = False  # the s2 cell conv emits normal layout
+            else:
+                if in_s2d:
+                    h = from_s2d(h)
+                    in_s2d = False
+                h = InvertedResidual(inp, oup, stride, dilation, t,
+                                     dtype=self.dtype,
+                                     bn_groups=self.bn_groups,
+                                     name=f"block_{i}")(h, train)
             if i == 2:  # features[0:4] = stem + blocks 0..2 (:125)
-                low = h
+                low = from_s2d(h) if in_s2d else h
+        if in_s2d:
+            h = from_s2d(h)
 
         if self.mc_dropout:
             on = train or (mc_dropout_on and self.mc_dropout2d_committee)

@@ -27,7 +27,7 @@ sys.path.insert(0, ".")
 from bench import _timeit_chained, _setup, _train_batch, _pool_batch, K  # noqa: E402
 
 
-def time_train(precision, bn_groups, train_B, hw, conv3x3="xla", dw="xla"):
+def time_train(precision, bn_groups, train_B, hw, conv3x3="xla", dw="xla", s2d=False):
     import jax
 
     import pixelpick_tpu.models.layers as layers
@@ -38,6 +38,8 @@ def time_train(precision, bn_groups, train_B, hw, conv3x3="xla", dw="xla"):
     layers.set_depthwise_impl(dw)
     try:
         args, model, params, batch_stats = _setup(precision, hw, bn_groups)
+        if s2d:
+            model = model.clone(s2d_until=4)
         import jax.numpy as jnp
 
         tx = make_optimizer(args, params, iters_per_epoch=100)
@@ -92,6 +94,7 @@ VARIANTS = {
     "mm": lambda hw: time_train("bf16", 4, 48, hw, conv3x3="matmul"),
     "bn0": lambda hw: time_train("bf16", 0, 48, hw),
     "nodwgrad": lambda hw: time_train("bf16", 4, 48, hw, dw="xla_nowgrad"),
+    "s2d": lambda hw: time_train("bf16", 4, 48, hw, s2d=True),
     "f32": lambda hw: time_train("f32", 0, 4, hw),
     "score": lambda hw: time_score("bf16", 32, hw),
     "score_mm": lambda hw: time_score("bf16", 32, hw, conv3x3="matmul"),
