@@ -146,11 +146,11 @@ def build_parser() -> ArgumentParser:
                         default=False,
                         help="evaluate the first 4 MobileNetV2 blocks in "
                              "space-to-depth layout (exact rewrite, "
-                             "models/s2d_block.py) — fills the 128-lane "
-                             "VMEM tiles the 16-96-channel early blocks "
-                             "otherwise waste (experimental; measured by "
-                             "scripts/perf_probe.py before changing the "
-                             "default)")
+                             "models/s2d_block.py). Experimental and "
+                             "measured SLOWER than the XLA default inside "
+                             "the full train step (148 vs 108 ms bs48 "
+                             "bf16, scripts/perf_probe.py) — kept as a "
+                             "tested record of the experiment")
     parser.add_argument("--conv3x3_matmul", action="store_true", default=False,
                         help="lower same-shape stride-1 3x3 convs (decoder "
                              "head, ASPP atrous branches) to 9 tap channel "

@@ -3,13 +3,14 @@
 See ``ops/s2d.py`` for the math and the why (the early MobileNetV2 blocks
 run 16-96 channels at 180x240 and waste most of every 128-lane VMEM tile;
 s2d(2) packs 2x2 spatial cells into channels so the same bytes move at
-full lane utilisation, and the depthwise convs become dense MXU convs).
+full lane utilisation, at the ORIGINAL FLOP count).
 
-``InvertedResidualS2D`` consumes a c-major s2d tensor (B, H/2, W/2, 4*inp)
-and reproduces the reference block (``mobilenet_v2.py:24-66``) EXACTLY,
-including the fixed_padding-before-the-block idiosyncrasy:
+``InvertedResidualS2D`` consumes a phase-major s2d tensor
+(B, H/2, W/2, 4*inp) and reproduces the reference block
+(``mobilenet_v2.py:24-66``) EXACTLY, including the
+fixed_padding-before-the-block idiosyncrasy:
 
-- expand/project 1x1 convs -> block-diagonal dense matmuls;
+- expand/project 1x1 convs -> phase-batched matmuls (original FLOPs);
 - the expand BN computes its moments with the PADDED pixel count (the
   reference normalises over the padded map whose rim the 1x1 conv zeroes);
 - the depthwise taps that read the rim's relu6(BN(0)) values are restored
@@ -35,7 +36,7 @@ from pixelpick_tpu.models.layers import (
     TorchBatchNorm, conv, he_normal_fan_in, relu6,
 )
 from pixelpick_tpu.ops.s2d import (
-    border_weight_map, conv_s2d_dw, dense_1x1_kernel, to_s2d,
+    border_weight_map, conv_s2d_1x1, conv_s2d_dw, rep_phase, to_s2d,
 )
 
 
@@ -51,7 +52,7 @@ class _ConvParam(nn.Module):
 
 
 class _S2DBNCore(nn.Module):
-    """Phase-grouped BatchNorm core on c-major s2d tensors.
+    """Phase-grouped BatchNorm core on phase-major s2d tensors.
 
     Variable layout identical to layers._BNCore (scale/bias params,
     mean/var batch_stats, one entry per ORIGINAL channel); moments reduce
@@ -80,23 +81,21 @@ class _S2DBNCore(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
-        def rep(v):  # (..., c) stats -> (..., 4c) c-major channels
-            return jnp.repeat(v, 4, axis=-1)
-
         if use_running_average:
             mul = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
-            y = (x - rep(ra_mean.value)) * rep(mul) + rep(bias)
+            y = (x - rep_phase(ra_mean.value)) * rep_phase(mul) \
+                + rep_phase(bias)
             bn_zero = (-ra_mean.value) * mul + bias
             return jnp.asarray(y, self.dtype), bn_zero[None, :]
 
         b, h, w, _ = x.shape
         g = self.groups if 0 < self.groups < b and b % self.groups == 0 else b
         ng = b // g
-        xf = x.astype(jnp.float32).reshape(ng, g, h, w, c, 4)
+        xf = x.astype(jnp.float32).reshape(ng, g, h, w, 4, c)
         n = g * h * w * 4 if self.count_override is None \
             else g * self.count_override
-        s1 = xf.sum(axis=(1, 2, 3, 5))
-        s2 = (xf * xf).sum(axis=(1, 2, 3, 5))
+        s1 = xf.sum(axis=(1, 2, 3, 4))
+        s2 = (xf * xf).sum(axis=(1, 2, 3, 4))
         mu = s1 / n                                         # (ng, c)
         var = jnp.maximum(0.0, s2 / n - mu * mu)
         if not self.is_initializing():
@@ -105,9 +104,9 @@ class _S2DBNCore(nn.Module):
             ra_var.value = self.momentum * ra_var.value \
                 + (1 - self.momentum) * var.mean(0)
         mul = jax.lax.rsqrt(var + self.epsilon) * scale     # (ng, c)
-        exp = (slice(None), None, None, None, slice(None), None)
-        y = (xf - mu[:, None, None, None, :, None]) * mul[exp] \
-            + bias[None, None, None, None, :, None]
+        y = (xf - mu[:, None, None, None, None, :]) \
+            * mul[:, None, None, None, None, :] \
+            + bias[None, None, None, None, None, :]
         bn_zero = (-mu) * mul + bias                        # (ng, c)
         return jnp.asarray(y.reshape(x.shape), self.dtype), bn_zero
 
@@ -130,7 +129,7 @@ class S2DBatchNorm(nn.Module):
 class InvertedResidualS2D(nn.Module):
     """One inverted-residual block in s2d layout (exact rewrite).
 
-    Input (B, h2, w2, 4*inp) c-major; output s2d (stride 1) or normal
+    Input (B, h2, w2, 4*inp) phase-major; output s2d (stride 1) or normal
     layout (stride 2). dilation must be 1 (the early blocks' case).
     """
 
@@ -151,8 +150,8 @@ class InvertedResidualS2D(nn.Module):
         precision = "highest" if self.dtype == jnp.float32 else None
 
         def mm(z, w1x1):
-            k = dense_1x1_kernel(w1x1.astype(self.dtype))
-            return jnp.einsum("bhwi,io->bhwo", z, k, precision=precision)
+            return conv_s2d_1x1(z, w1x1.astype(self.dtype),
+                                precision=precision)
 
         if self.expand_ratio != 1:
             we = _ConvParam((1, 1, self.inp, hidden), name="expand")()
@@ -177,7 +176,7 @@ class InvertedResidualS2D(nn.Module):
             ng = rho.shape[0]
             rho_b = jnp.repeat(rho.astype(self.dtype), b // ng, axis=0)
             if self.stride == 1:
-                rho_b = jnp.repeat(rho_b, 4, axis=-1)  # c-major channels
+                rho_b = rep_phase(rho_b)  # phase-major channels
             y = y + rho_b[:, None, None, :] * m
 
         if self.stride == 1:

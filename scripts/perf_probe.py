@@ -95,6 +95,8 @@ VARIANTS = {
     "bn0": lambda hw: time_train("bf16", 0, 48, hw),
     "nodwgrad": lambda hw: time_train("bf16", 4, 48, hw, dw="xla_nowgrad"),
     "s2d": lambda hw: time_train("bf16", 4, 48, hw, s2d=True),
+    "s2d_mm": lambda hw: time_train("bf16", 4, 48, hw, s2d=True,
+                                    conv3x3="matmul"),
     "f32": lambda hw: time_train("f32", 0, 4, hw),
     "score": lambda hw: time_score("bf16", 32, hw),
     "score_mm": lambda hw: time_score("bf16", 32, hw, conv3x3="matmul"),
