@@ -155,7 +155,10 @@ def build_parser() -> ArgumentParser:
                         help="lower same-shape stride-1 3x3 convs (decoder "
                              "head, ASPP atrous branches) to 9 tap channel "
                              "matmuls instead of lax.conv "
-                             "(models/layers.py:Conv3x3MatMul)")
+                             "(models/layers.py:Conv3x3MatMul). Measured "
+                             "SLOWER than XLA's convs (train 163 vs 108 ms "
+                             "bs48 bf16; scoring 569 vs 886 imgs/s) — "
+                             "experimental, default off")
     parser.add_argument("--ckpt_backend", type=str, default="msgpack",
                         choices=["msgpack", "orbax"],
                         help="best-model checkpoint format: flax msgpack "

@@ -64,6 +64,7 @@ class DeepLab(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_groups: int = 0
     s2d_until: int = 0  # see MobileNetV2 (space-to-depth early blocks)
+    remat_blocks: bool = False  # see MobileNetV2 (per-block remat)
 
     @nn.compact
     def __call__(self, x, train: bool = False, mc_dropout_on: bool = False,
@@ -73,7 +74,8 @@ class DeepLab(nn.Module):
             mc_dropout=self.mc_dropout, mc_dropout_p=self.mc_dropout_p,
             mc_dropout2d_committee=self.mc_dropout2d_committee,
             dtype=self.dtype, bn_groups=self.bn_groups,
-            s2d_until=self.s2d_until, name="backbone",
+            s2d_until=self.s2d_until, remat_blocks=self.remat_blocks,
+            name="backbone",
         )(x, train, mc_dropout_on)
 
         a = ASPP(self.output_stride, dtype=self.dtype,

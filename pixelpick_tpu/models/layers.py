@@ -180,6 +180,81 @@ class Conv3x3MatMul(nn.Module):
         return y
 
 
+def _conv3x3_same(x, k, dilation: int, precision):
+    d = dilation
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3x3_wgrad_mm(x, k, dilation: int, precision=None):
+    """Same-shape stride-1 3x3 conv: XLA conv for forward AND dgrad, but the
+    weight gradient as 9 tap einsums ([Cin, B*H*W] x [B*H*W, Cout] matmuls
+    with f32 accumulation) instead of XLA's transposed-conv wgrad kernel.
+    Mathematically identical contraction; measured by perf_probe 'wmm'."""
+    return _conv3x3_same(x, k, dilation, precision)
+
+
+def _c3wm_fwd(x, k, dilation, precision):
+    return _conv3x3_same(x, k, dilation, precision), (x, k)
+
+
+def _c3wm_bwd(dilation, precision, res, g):
+    x, k = res
+    # dgrad: XLA's own transposed conv (via vjp of the forward wrt x)
+    _, pullback = jax.vjp(
+        lambda xx: _conv3x3_same(xx, k, dilation, precision), x)
+    dx, = pullback(g)
+    # wgrad: 9 shifted-window einsums on the MXU
+    d = dilation
+    b, h, w, cin = x.shape
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    taps = []
+    for ky in range(3):
+        for kx in range(3):
+            win = jax.lax.slice(xp, (0, ky * d, kx * d, 0),
+                                (b, ky * d + h, kx * d + w, cin))
+            taps.append(jnp.einsum("bhwi,bhwo->io", win, g,
+                                   preferred_element_type=jnp.float32))
+    dk = jnp.stack(taps, 0).reshape(3, 3, cin, g.shape[-1]).astype(k.dtype)
+    return dx, dk
+
+
+conv3x3_wgrad_mm.defvjp(_c3wm_fwd, _c3wm_bwd)
+
+
+class Conv3x3WgradMM(nn.Module):
+    """nn.Conv-compatible 3x3 same-shape conv backed by
+    :func:`conv3x3_wgrad_mm` (XLA forward/dgrad, matmul wgrad). Parameter
+    layout identical to ``nn.Conv``. Enabled with
+    ``set_conv3x3_impl('wgradmm')``."""
+
+    features: int
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: nn.initializers.Initializer = he_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, cin, self.features), jnp.float32)
+        precision = "highest" if self.dtype == jnp.float32 else None
+        y = conv3x3_wgrad_mm(x.astype(self.dtype),
+                             kernel.astype(self.dtype), self.dilation,
+                             precision)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def conv(features: int, kernel: Tuple[int, int], stride=1, *, dilation=1,
          padding="VALID", groups: int = 1, use_bias: bool = False,
          dtype=jnp.float32, name: Optional[str] = None,
@@ -197,6 +272,12 @@ def conv(features: int, kernel: Tuple[int, int], stride=1, *, dilation=1,
             and padding == ((d, d), (d, d))):
         return Conv3x3MatMul(features=features, dilation=d, use_bias=use_bias,
                              dtype=dtype, kernel_init=kernel_init, name=name)
+    if (_CONV3X3_IMPL == "wgradmm" and tuple(kernel) == (3, 3)
+            and stride_t == (1, 1) and groups == 1
+            and padding == ((d, d), (d, d))):
+        return Conv3x3WgradMM(features=features, dilation=d,
+                              use_bias=use_bias, dtype=dtype,
+                              kernel_init=kernel_init, name=name)
     if (_DEPTHWISE_IMPL == "pallas" and tuple(kernel) == (3, 3)
             and groups == features and not use_bias
             and padding in ("VALID", ((0, 0), (0, 0)))):
@@ -262,11 +343,12 @@ def set_depthwise_impl(name: str) -> None:
 
 
 def set_conv3x3_impl(name: str) -> None:
-    """'xla' (lax.conv) or 'matmul' (tap-decomposed Conv3x3MatMul) for
+    """'xla' (lax.conv), 'matmul' (tap-decomposed Conv3x3MatMul) or
+    'wgradmm' (XLA fwd/dgrad, tap-matmul wgrad — Conv3x3WgradMM) for
     same-shape stride-1 3x3 convs. Process-global; set before tracing
     (--conv3x3_matmul does this)."""
     global _CONV3X3_IMPL
-    assert name in ("xla", "matmul"), name
+    assert name in ("xla", "matmul", "wgradmm"), name
     _CONV3X3_IMPL = name
 
 

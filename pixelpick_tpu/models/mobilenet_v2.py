@@ -110,6 +110,14 @@ class MobileNetV2(nn.Module):
     # channels waste most of every 128-lane VMEM tile and were measured at
     # ~3-4x over the bandwidth roofline (scripts/perf_backbone.py). 0 = off.
     s2d_until: int = 0
+    # rematerialise each inverted-residual block in the backward pass
+    # (jax.checkpoint per block): the backbone is HBM-bandwidth-bound
+    # (~1-2% MFU measured, 68 of the 108 ms bs48 step), and the t=6 expand
+    # intermediates (96-192ch at 180x240/90x120) dominate the stored-
+    # activation traffic. Recomputing them from the thin block inputs
+    # trades idle MXU flops for HBM bytes. Gradients are bit-identical
+    # (same ops, same order). Measured by perf_probe.py variant 'remat'.
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, mc_dropout_on: bool = False
@@ -119,6 +127,9 @@ class MobileNetV2(nn.Module):
         from pixelpick_tpu.ops.s2d import from_s2d, to_s2d
 
         plan, _ = block_plan(self.output_stride, self.width_mult)
+        # static_argnums counts self as 0; (x, train) are 1, 2
+        Block = nn.checkpoint(InvertedResidual, static_argnums=(2,)) \
+            if self.remat_blocks else InvertedResidual
 
         # stem: conv 3x3 stride 2, torch padding=1 (mobilenet_v2.py:7-12)
         h = conv(int(32 * self.width_mult), (3, 3), 2, padding=1,
@@ -145,10 +156,10 @@ class MobileNetV2(nn.Module):
                 if in_s2d:
                     h = from_s2d(h)
                     in_s2d = False
-                h = InvertedResidual(inp, oup, stride, dilation, t,
-                                     dtype=self.dtype,
-                                     bn_groups=self.bn_groups,
-                                     name=f"block_{i}")(h, train)
+                h = Block(inp, oup, stride, dilation, t,
+                          dtype=self.dtype,
+                          bn_groups=self.bn_groups,
+                          name=f"block_{i}")(h, train)
             if i == 2:  # features[0:4] = stem + blocks 0..2 (:125)
                 low = from_s2d(h) if in_s2d else h
         if in_s2d:

@@ -123,6 +123,25 @@ def main():
         sec = _chain_time(lambda x: aspp.apply(va, x, train=False), x_high)
         report("aspp_fwd", sec, flops_g=3.6)
 
+    if "aspp_train" in want:
+        def aspp_loss(p, x, k):
+            out, mut = aspp.apply({"params": p}, x, train=True,
+                                  mutable=["batch_stats"],
+                                  rngs={"dropout": k})
+            return jnp.sum(jnp.square(out.astype(jnp.float32)))
+
+        gaspp = jax.jit(jax.grad(aspp_loss, argnums=(0, 1)))
+
+        @jax.jit
+        def astep(x, prev):
+            g = gaspp(va["params"], x + (0.0 * prev).astype(x.dtype), key)
+            return sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree.leaves(g))
+
+        carry0 = astep(x_high, jnp.float32(0))
+        sec = _timeit_chained(lambda i, c: astep(x_high, c), carry0)
+        report("aspp_train", sec, flops_g=3.6 * 3)
+
     h4 = (HW[0] // 4, HW[1] // 4)
     x_head = jnp.asarray(rng.standard_normal((B, *h4, 304)), jnp.bfloat16)
     head = SegmentHead(n_classes=11, dtype=jnp.bfloat16, bn_groups=4)
@@ -225,6 +244,67 @@ def main():
             lambda i, s: step(s, batch, _jax.random.fold_in(key, i))[0],
             state)
         report("train_ref", sec, flops_g=32.5 * 3)
+
+    if "matmul_peak" in want:
+        # empirical MXU ceiling through this stack: chained 4096^3 bf16
+        # matmuls (no conv, no BN) — the denominator every MFU% here uses
+        a0 = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.bfloat16)
+        b0 = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.bfloat16)
+
+        @jax.jit
+        def mmstep(prev):
+            a = a0 + (0.0 * prev).astype(a0.dtype)
+            c = a @ b0
+            return jnp.sum(c[..., :1].astype(jnp.float32))
+
+        carry0 = mmstep(jnp.float32(0))
+        sec = _timeit_chained(lambda i, c: mmstep(c), carry0)
+        tf = 2 * 4096**3 / sec / 1e12
+        results["matmul_peak"] = {"ms": 1000 * sec, "tflops": tf}
+        print("matmul_peak", json.dumps(results["matmul_peak"]), flush=True)
+
+    if "headconvs_fwd" in want or "headconvs_train" in want:
+        # the two 3x3 head convs ALONE (relu between, no BN/dropout):
+        # isolates raw conv cost; head_train minus this = BN+dropout+
+        # elementwise share
+        from jax import lax
+
+        k1 = jnp.asarray(rng.standard_normal((3, 3, 304, 256)) * 0.05,
+                         jnp.bfloat16)
+        k2 = jnp.asarray(rng.standard_normal((3, 3, 256, 256)) * 0.05,
+                         jnp.bfloat16)
+        xh = jnp.asarray(rng.standard_normal((B, *h4, 304)), jnp.bfloat16)
+
+        def two_convs(x, kk1, kk2):
+            y = lax.conv_general_dilated(
+                x, kk1, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = jnp.maximum(y, 0)
+            return lax.conv_general_dilated(
+                y, kk2, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        gflops = (9 * 304 * 256 + 9 * 256 * 256) * 2 * h4[0] * h4[1] / 1e9
+
+        if "headconvs_fwd" in want:
+            sec = _chain_time(lambda x: two_convs(x, k1, k2), xh)
+            report("headconvs_fwd", sec, flops_g=gflops)
+
+        if "headconvs_train" in want:
+            gfn = jax.grad(
+                lambda ks, x: jnp.sum(
+                    jnp.square(two_convs(x, *ks).astype(jnp.float32))),
+                argnums=(0, 1))
+
+            @jax.jit
+            def cstep(x, prev):
+                gks, gx = gfn((k1, k2), x + (0.0 * prev).astype(x.dtype))
+                return sum(jnp.sum(l.astype(jnp.float32))
+                           for l in jax.tree.leaves((gks, gx)))
+
+            carry0 = cstep(xh, jnp.float32(0))
+            sec = _timeit_chained(lambda i, c: cstep(xh, c), carry0)
+            report("headconvs_train", sec, flops_g=3 * gflops)
 
     if "full_fwd" in want:
         x_u8 = jnp.asarray(rng.integers(0, 255, (B, *HW, 3)), jnp.uint8)

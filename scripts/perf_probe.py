@@ -27,7 +27,8 @@ sys.path.insert(0, ".")
 from bench import _timeit_chained, _setup, _train_batch, _pool_batch, K  # noqa: E402
 
 
-def time_train(precision, bn_groups, train_B, hw, conv3x3="xla", dw="xla", s2d=False):
+def time_train(precision, bn_groups, train_B, hw, conv3x3="xla", dw="xla",
+               s2d=False, remat=False):
     import jax
 
     import pixelpick_tpu.models.layers as layers
@@ -40,6 +41,8 @@ def time_train(precision, bn_groups, train_B, hw, conv3x3="xla", dw="xla", s2d=F
         args, model, params, batch_stats = _setup(precision, hw, bn_groups)
         if s2d:
             model = model.clone(s2d_until=4)
+        if remat:
+            model = model.clone(remat_blocks=True)
         import jax.numpy as jnp
 
         tx = make_optimizer(args, params, iters_per_epoch=100)
@@ -97,6 +100,8 @@ VARIANTS = {
     "s2d": lambda hw: time_train("bf16", 4, 48, hw, s2d=True),
     "s2d_mm": lambda hw: time_train("bf16", 4, 48, hw, s2d=True,
                                     conv3x3="matmul"),
+    "wmm": lambda hw: time_train("bf16", 4, 48, hw, conv3x3="wgradmm"),
+    "remat": lambda hw: time_train("bf16", 4, 48, hw, remat=True),
     "f32": lambda hw: time_train("f32", 0, 4, hw),
     "score": lambda hw: time_score("bf16", 32, hw),
     "score_mm": lambda hw: time_score("bf16", 32, hw, conv3x3="matmul"),

@@ -96,3 +96,54 @@ def test_conv3x3_matmul_in_deeplab_matches_xla(monkeypatch):
     out_mm = model2.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(out_mm["pred"]),
                                np.asarray(out_xla["pred"]), atol=2e-4)
+
+
+def test_conv3x3_wgradmm_matches_lax_conv():
+    """conv3x3_wgrad_mm: forward equals lax.conv, and BOTH gradients (dx, dk)
+    equal the plain conv's — the custom wgrad is the same contraction as
+    XLA's transposed-conv wgrad, just expressed as 9 tap einsums."""
+    from pixelpick_tpu.models.layers import conv3x3_wgrad_mm, _conv3x3_same
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 6)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 6, 4)) * 0.2, jnp.float32)
+    for dil in (1, 2):
+        y = conv3x3_wgrad_mm(x, k, dil, "highest")
+        y_ref = _conv3x3_same(x, k, dil, "highest")
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-5)
+
+        def loss(fn, xx, kk):
+            return jnp.sum(jnp.sin(fn(xx, kk, dil, "highest")))
+
+        gx, gk = jax.grad(loss, argnums=(1, 2))(conv3x3_wgrad_mm, x, k)
+        gx_r, gk_r = jax.grad(loss, argnums=(1, 2))(_conv3x3_same, x, k)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_r),
+                                   atol=1e-5)
+
+
+def test_remat_blocks_exact():
+    """remat_blocks=True changes memory scheduling only: outputs and
+    gradients are identical to the plain build (same ops, same order)."""
+    x = jnp.asarray(np.random.default_rng(3)
+                    .standard_normal((2, 32, 32, 3)).astype(np.float32))
+    base = MobileNetV2(output_stride=16)
+    v = base.init(jax.random.PRNGKey(0), x, train=False)
+    rem = MobileNetV2(output_stride=16, remat_blocks=True)
+    vr = rem.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(vr["params"]) == jax.tree.structure(v["params"])
+
+    def loss(model, params):
+        h, low = model.apply({"params": params,
+                              "batch_stats": v["batch_stats"]},
+                             x, train=False)
+        return jnp.sum(h ** 2) + jnp.sum(low ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(base, p))(v["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(rem, p))(v["params"])
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
