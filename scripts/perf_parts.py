@@ -306,6 +306,92 @@ def main():
             sec = _timeit_chained(lambda i, c: cstep(xh, c), carry0)
             report("headconvs_train", sec, flops_g=3 * gflops)
 
+    if any(p.startswith("stem") for p in want):
+        # Input-layout tax: the (B,360,480,3) batch is lane-padded 3->128 in
+        # HBM (~2.65 GB uint8 / 5.3 GB bf16 physical vs 132 MB logical), and
+        # the stem conv + its wgrad read it. The s2d variants feed the SAME
+        # pixels as (B,180,240,12) (2x2 space-to-depth, phase-major), whose
+        # pad 12->128 is 10x cheaper; the stem becomes an exact 2x2-cell
+        # conv producing the identical (B,180,240,32) output.
+        from jax import lax
+        mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+        std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+        k_stem = jnp.asarray(rng.standard_normal((3, 3, 3, 32)) * 0.1,
+                             jnp.bfloat16)
+
+        def stem_plain(x_u8, k):
+            xx = (x_u8.astype(jnp.float32) / 255.0 - mean) / std
+            return lax.conv_general_dilated(
+                xx.astype(jnp.bfloat16), k, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        # s2d kernel map: ky -> (cell offset a, phase py): 0->(0,1),
+        # 1->(1,0), 2->(1,1); (a,py)=(0,0) taps nothing (zero)
+        def k_to_s2d(k):
+            rows = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
+            # K2[a,bx,(py*2+px)*3+c,o] = k[ky(a,py), kx(bx,px), c, o]
+            K2 = jnp.zeros((2, 2, 12, k.shape[-1]), k.dtype)
+            for a in range(2):
+                for py in range(2):
+                    ky = rows.get((a, py))
+                    if ky is None:
+                        continue
+                    for b_ in range(2):
+                        for px in range(2):
+                            kx = rows.get((b_, px))
+                            if kx is None:
+                                continue
+                            p = py * 2 + px
+                            K2 = K2.at[a, b_, p * 3:(p + 1) * 3, :].set(
+                                k[ky, kx])
+            return K2
+
+        def stem_s2d(x_u8_s2d, k):
+            m4 = jnp.concatenate([mean] * 4)
+            s4 = jnp.concatenate([std] * 4)
+            xx = (x_u8_s2d.astype(jnp.float32) / 255.0 - m4) / s4
+            return lax.conv_general_dilated(
+                xx.astype(jnp.bfloat16), k_to_s2d(k), (1, 1),
+                ((1, 0), (1, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        x_u8 = jnp.asarray(rng.integers(0, 255, (B, *HW, 3)), jnp.uint8)
+        xs = np.asarray(x_u8).reshape(B, HW[0] // 2, 2, HW[1] // 2, 2, 3)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, HW[0] // 2,
+                                                    HW[1] // 2, 12)
+        x_u8_s2d = jnp.asarray(xs)
+
+        if "stem_check" in want:
+            a_ = np.asarray(stem_plain(x_u8, k_stem), np.float32)
+            b2 = np.asarray(stem_s2d(x_u8_s2d, k_stem), np.float32)
+            err = float(np.abs(a_ - b2).max())
+            results["stem_check"] = {"max_abs_err": err}
+            print("stem_check", json.dumps(results["stem_check"]), flush=True)
+
+        if "stem_fwd" in want:
+            sec = _chain_time(lambda x: stem_plain(x, k_stem), x_u8)
+            report("stem_fwd", sec)
+        if "stem_s2d_fwd" in want:
+            sec = _chain_time(lambda x: stem_s2d(x, k_stem), x_u8_s2d)
+            report("stem_s2d_fwd", sec)
+
+        def train_probe(stem_fn, x0):
+            gfn = jax.grad(lambda k, x: jnp.sum(
+                jnp.square(stem_fn(x, k).astype(jnp.float32))))
+
+            @jax.jit
+            def tstep(x, prev):
+                g = gfn(k_stem + (0.0 * prev).astype(k_stem.dtype), x)
+                return jnp.sum(g.astype(jnp.float32))
+
+            carry0 = tstep(x0, jnp.float32(0))
+            return _timeit_chained(lambda i, c: tstep(x0, c), carry0)
+
+        if "stem_train" in want:
+            report("stem_train", train_probe(stem_plain, x_u8))
+        if "stem_s2d_train" in want:
+            report("stem_s2d_train", train_probe(stem_s2d, x_u8_s2d))
+
     if "full_fwd" in want:
         x_u8 = jnp.asarray(rng.integers(0, 255, (B, *HW, 3)), jnp.uint8)
 
