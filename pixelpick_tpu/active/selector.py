@@ -20,7 +20,7 @@ import numpy as np
 from pixelpick_tpu.active import codec
 from pixelpick_tpu.active.acquisition import make_score_fn
 from pixelpick_tpu.active.stats import QueryStats
-from pixelpick_tpu.parallel.mesh import shard_batch
+from pixelpick_tpu.parallel.mesh import shard_batch, shard_batch_spatial
 
 
 class QuerySelector:
@@ -30,8 +30,12 @@ class QuerySelector:
         self.model = model
         # pool images are independent — the sweep is embarrassingly parallel
         # over the ('data',) mesh (SURVEY §2.2); batches are sharded on the
-        # leading axis and only (B, n_pixels) indices + small stats return
+        # leading axis and only (B, n_pixels) indices + small stats return.
+        # --spatial_query_sharding shards HEIGHT stripes instead (model
+        # parallelism for large-image/small-pool regimes)
         self.mesh = mesh
+        self._shard = shard_batch_spatial \
+            if getattr(args, "spatial_query_sharding", False) else shard_batch
         self.n_pixels_by_us = args.n_pixels_by_us
         self.ignore_index = args.ignore_index
         self.dir_checkpoints = args.dir_checkpoints
@@ -65,7 +69,7 @@ class QuerySelector:
             # pool size is computed from the true area and bucket padding is
             # never pickable (reference query.py:36 uses the true h*w)
             score_in = {k: v for k, v in batch.items() if k != "index"}
-            score_in = shard_batch(score_in, self.mesh)
+            score_in = self._shard(score_in, self.mesh)
             indices, dev_stats = self._score_fn(params, batch_stats,
                                                 score_in, sub)
             indices = np.asarray(indices)  # (B, n_pixels) flat

@@ -131,6 +131,14 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="number of devices on the ('data',) mesh axis; "
                              "0 = all available devices")
+    parser.add_argument("--spatial_query_sharding", action="store_true",
+                        default=False,
+                        help="shard pool-sweep images over the mesh by "
+                             "HEIGHT stripes instead of by batch (model "
+                             "parallelism for large-image/small-pool "
+                             "regimes; GSPMD inserts the conv halo "
+                             "exchanges — parallel/mesh.py:"
+                             "shard_batch_spatial)")
     parser.add_argument("--pretrained_ckpt", type=str, default="",
                         help="path to a converted pretrained backbone "
                              "checkpoint (see models/convert.py)")

@@ -49,6 +49,32 @@ def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
     return {k: put(np.asarray(v)) for k, v in batch.items()}
 
 
+def shard_batch_spatial(batch: dict, mesh: Optional[Mesh]) -> dict:
+    """Shard image-shaped arrays on their HEIGHT axis (axis 1) instead of
+    the batch axis — model parallelism over the spatial extent.
+
+    For pool sweeps whose images are large but few (the regime SURVEY §2.2
+    marks as the optional spatial-sharding extra), batch sharding runs out
+    of parallelism; sharding H lets every device hold a horizontal stripe
+    of every image. Under ``jit``, GSPMD inserts the halo exchanges the
+    convolutions need and the all-gathers/psums for the global ops (ASPP
+    GAP, align-corners resize matmuls, top-k) automatically — no model
+    changes. Arrays whose H doesn't divide the mesh (or non-image arrays)
+    are replicated.
+    """
+    if mesh is None:
+        return batch
+    n = mesh.devices.size
+
+    def put(x):
+        x = np.asarray(x)
+        spec = P(None, "data") if x.ndim >= 3 and x.shape[1] % n == 0 \
+            else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return {k: put(v) for k, v in batch.items()}
+
+
 def shard_pytree(tree, mesh: Optional[Mesh]):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     if mesh is None:

@@ -208,3 +208,60 @@ def test_device_pipeline_emits_mesh_sharded_batches(tmp_path):
     # a non-divisible remainder batch still works (uneven GSPMD shards)
     b2 = pipe_mesh.sample_batch(np.arange(6), jax.random.PRNGKey(6))
     assert np.asarray(b2["x"]).shape[0] == 6
+
+
+def test_spatially_sharded_sweep_matches_single_device():
+    """--spatial_query_sharding (SURVEY §2.2's optional extra): the sweep
+    sharded by HEIGHT stripes — model parallelism over the image — picks
+    the same pixels. The stride-2 model forces GSPMD to insert conv halo
+    exchanges AND run the align-corners upsample over a sharded H axis."""
+    import flax.linen as nn
+    from pixelpick_tpu.active.acquisition import make_score_fn
+    from pixelpick_tpu.parallel.mesh import get_mesh, shard_batch_spatial
+
+    class TinyS2(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, mc_dropout_on=False, upsample=True):
+            h = nn.Conv(8, (3, 3), strides=2, padding=1, name="c1")(x)
+            h = nn.relu(nn.Conv(8, (3, 3), padding=1, name="c2")(h))
+            pred = nn.Conv(4, (1, 1), name="cls")(h)  # half-res: score
+            return {"pred": pred, "emb": h}           # path upsamples
+
+    model = TinyS2()
+    rng = np.random.default_rng(4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 24, 3)))
+    batch = {
+        "x": rng.integers(0, 255, (4, 32, 24, 3), dtype=np.uint8),
+        "y": rng.integers(0, 4, (4, 32, 24)).astype(np.int32),
+        "excluded": rng.random((4, 32, 24)) < 0.1,
+    }
+    score_fn = make_score_fn(model, strategy="margin_sampling", n_classes=4,
+                             mean=[0.5] * 3, std=[0.25] * 3, n_pixels=6,
+                             top_n_percent=0.05, reverse_order=False,
+                             ignore_index=11)
+    key = jax.random.PRNGKey(11)
+    idx_1, stats_1 = score_fn(variables["params"], {}, batch, key)
+
+    mesh = get_mesh(n_devices=8)
+    sharded = shard_batch_spatial(batch, mesh)
+    assert sharded["x"].sharding.spec == (None, "data")
+    assert sharded["excluded"].sharding.spec == (None, "data")
+    idx_8, stats_8 = score_fn(variables["params"], {}, sharded, key)
+
+    np.testing.assert_array_equal(np.asarray(idx_1), np.asarray(idx_8))
+    np.testing.assert_allclose(np.asarray(stats_1["entropy"]),
+                               np.asarray(stats_8["entropy"]), rtol=1e-5)
+
+
+def test_shard_batch_spatial_fallbacks():
+    from pixelpick_tpu.parallel.mesh import get_mesh, shard_batch_spatial
+
+    mesh = get_mesh(n_devices=8)
+    batch = {"x": np.zeros((2, 16, 8, 3), np.float32),   # H=16 divides 8
+             "hw": np.zeros((2, 2), np.int32),           # 2-D: replicate
+             "odd": np.zeros((2, 12, 8), np.float32)}    # H=12: replicate
+    out = shard_batch_spatial(batch, mesh)
+    assert out["x"].sharding.spec == (None, "data")
+    assert out["hw"].sharding.spec == ()
+    assert out["odd"].sharding.spec == ()
+    assert shard_batch_spatial(batch, None) is batch
