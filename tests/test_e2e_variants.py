@@ -66,3 +66,21 @@ def test_checkpoint_eval_roundtrip(tmp_path):
     scores, cls_iu = evaluate(args, params, stats)
     assert 0.0 <= scores["Mean IoU"] <= 1.0
     assert len(cls_iu) == args.n_classes
+
+
+def test_fpn_al_round(tmp_path):
+    """A full AL stage on the FPN/ResNet-18 model family — the whole
+    driver path (train, val, query, label) works for the second network
+    the reference ships (networks/model.py FPNSeg), not just DeepLab."""
+    args = synthetic_args(tmp_path, n_pixels_by_us=4, max_budget=4,
+                          n_epochs=1, network_name="FPN", n_layers=18,
+                          query_strategy="margin_sampling",
+                          top_n_percent=0, reverse_order=False)
+    from pixelpick_tpu.active.driver import ALModel
+
+    model = ALModel(args)
+    model.dataset.crop_size = (48, 64)
+    model()
+    assert model.dataset.n_pixels_total == 8 * 4 * 2
+    from pathlib import Path
+    assert (Path(model.dir_checkpoints) / "1_query" / "queries.pkl").exists()
