@@ -62,3 +62,48 @@ def test_train_on_merged_human_labels(tmp_path):
     with open(f"{d}/log_train.txt") as f:
         rows = f.read().strip().splitlines()
     assert len(rows) == 2  # header + 1 epoch
+
+
+def test_train_cli_main(tmp_path, monkeypatch):
+    """The standalone `train.py` CLI (reference train.py:179-254): given a
+    checkpoint dir holding one round of human-labelled queries.pkl and a
+    dataset config, its main() merges them and trains a round."""
+    import sys
+    from pathlib import Path
+
+    import yaml
+
+    args0 = synthetic_args(tmp_path, n_pixels_by_us=4, max_budget=4,
+                           n_epochs=1)
+    rng = np.random.default_rng(3)
+    img_paths = sorted(
+        os.path.join(args0.dir_dataset, "train", f)
+        for f in os.listdir(os.path.join(args0.dir_dataset, "train")))
+    ckpt_dir = str(tmp_path / "cli_ckpt")
+    _write_labelled_round(ckpt_dir, 0, img_paths, (48, 64), rng)
+
+    # with -pdc the YAML must be self-contained: it REPLACES the dataset
+    # block, exactly as the reference's if/else does (args.py:79-152)
+    cfg = dict(dataset_name="cv", dir_dataset=args0.dir_dataset,
+               batch_size=4, n_epochs=1, crop_size=[48, 64],
+               ignore_index=11, n_classes=11, downsample=1,
+               mean=[0.5, 0.5, 0.5], std=[0.25, 0.25, 0.25],
+               optimizer_type="Adam", lr_scheduler_type="MultiStepLR",
+               optimizer_params={"lr": 5e-4, "betas": [0.9, 0.999],
+                                 "weight_decay": 2e-4, "eps": 1e-7})
+    p_cfg = tmp_path / "cfg.yaml"
+    p_cfg.write_text(yaml.safe_dump(cfg))
+
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "-pdc", str(p_cfg), "--dir_checkpoints", ckpt_dir,
+        "--n_pixels_by_us", "4", "--n_workers", "2", "--seed", "0",
+    ])
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import importlib
+    train_cli = importlib.import_module("train")
+    train_cli.main()
+
+    d = Path(ckpt_dir) / "0_query"
+    assert (d / "log_train.txt").exists()
+    assert any(p.suffix == ".ckpt" for p in d.iterdir()) or \
+        (d / "best_miou_model.ckpt").exists()
