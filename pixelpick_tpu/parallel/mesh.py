@@ -65,14 +65,27 @@ def shard_batch_spatial(batch: dict, mesh: Optional[Mesh]) -> dict:
     if mesh is None:
         return batch
     n = mesh.devices.size
+    sharded_any = False
 
     def put(x):
+        nonlocal sharded_any
         x = np.asarray(x)
-        spec = P(None, "data") if x.ndim >= 3 and x.shape[1] % n == 0 \
-            else P()
+        if x.ndim >= 3 and x.shape[1] % n == 0:
+            spec = P(None, "data")
+            sharded_any = True
+        else:
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return {k: put(v) for k, v in batch.items()}
+    out = {k: put(v) for k, v in batch.items()}
+    if not sharded_any:
+        import warnings
+        warnings.warn(
+            f"shard_batch_spatial: no array height divides the {n}-device "
+            f"mesh ({ {k: np.asarray(v).shape for k, v in batch.items()} }) "
+            "— everything replicated, the sweep runs without spatial "
+            "parallelism", stacklevel=2)
+    return out
 
 
 def shard_pytree(tree, mesh: Optional[Mesh]):

@@ -16,7 +16,8 @@ def test_all_named_flags_exist():
     known = set()
     for action in parser._actions:
         known.update(action.option_strings)
-    named = set(re.findall(r"`(--[a-z0-9_-]+)", DOC))
+    # also catch alias-prefixed mentions like `-qs/--query_strategy`
+    named = set(re.findall(r"`(?:-[a-z]+/)?(--[a-z0-9_-]+)", DOC))
     # flags documented for other CLIs, not main_al's parser
     named -= {"--p_queries", "--via_annot_file", "--converted_file",
               "--labels-from-gt", "--fetch", "--dir_imgs", "--path_query",

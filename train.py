@@ -1,48 +1,7 @@
-"""Single-round training, optionally resuming from human-labelled query
-files — reference ``train.py:179-254``: rglob all ``*/queries.pkl`` under
-the checkpoint dir, merge them into per-image label maps, train on those
-sparse human labels (no GT needed), evaluating every ``--eval_interval``
-epochs with best-checkpoint saving."""
-
-import os
-
-import numpy as np
-
-from pixelpick_tpu.active.codec import (
-    gather_previous_query_files, merge_previous_query_files,
-)
-from pixelpick_tpu.active.driver import ALModel
-from pixelpick_tpu.config import Arguments
-
-
-def main():
-    args = Arguments().parse_args()
-
-    human = False
-    merged_inputs = merged_maps = None
-    prev_files = gather_previous_query_files(args.dir_checkpoints)
-    if prev_files:
-        merged = merge_previous_query_files(prev_files,
-                                            ignore_index=args.ignore_index)
-        merged_inputs, merged_maps = [], []
-        for p_img, m in sorted(merged.items()):
-            p = f"{args.dir_dataset}/train/{os.path.basename(p_img)}"
-            assert os.path.exists(p), p
-            merged_inputs.append(p)
-            merged_maps.append(m)
-        human = True
-        args.nth_query = len(prev_files) - 1
-
-    model = ALModel(args, human_labels=human)
-    if human:
-        model.dataset.list_inputs = merged_inputs
-        model.dataset.update_labelled_queries(merged_maps)
-        model.nth_query = args.nth_query
-        model._run_stage(f"{args.nth_query}_query")
-    else:
-        model.nth_query = 0
-        model._run_stage("0_query" if args.n_pixels_by_us > 0 else "fully_sup")
-
+"""Repo-root shim for pixelpick_tpu/cli/train.py (console script:
+`pixelpick-train`) — reference train.py:179-254 semantics."""
+from pixelpick_tpu.cli.train import *  # noqa: F401,F403
+from pixelpick_tpu.cli.train import main
 
 if __name__ == "__main__":
     main()
