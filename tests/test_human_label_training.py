@@ -67,7 +67,12 @@ def test_train_on_merged_human_labels(tmp_path):
 def test_train_cli_main(tmp_path, monkeypatch):
     """The standalone `train.py` CLI (reference train.py:179-254): given a
     checkpoint dir holding one round of human-labelled queries.pkl and a
-    dataset config, its main() merges them and trains a round."""
+    dataset config, its main() merges them and trains a round.
+
+    Uses the `custom` dataset family: it honors the YAML's crop_size /
+    native image size. (`cv` would be reference-faithfully padded up to
+    CamVid's hard-coded 360x480 — /root/reference/datasets/camvid.py:39 —
+    which makes a 48x64 synthetic run ~55x more expensive for nothing.)"""
     import sys
     from pathlib import Path
 
@@ -75,6 +80,10 @@ def test_train_cli_main(tmp_path, monkeypatch):
 
     args0 = synthetic_args(tmp_path, n_pixels_by_us=4, max_budget=4,
                            n_epochs=1)
+    os.rename(os.path.join(args0.dir_dataset, "test"),
+              os.path.join(args0.dir_dataset, "val"))
+    os.rename(os.path.join(args0.dir_dataset, "testannot"),
+              os.path.join(args0.dir_dataset, "valannot"))
     rng = np.random.default_rng(3)
     img_paths = sorted(
         os.path.join(args0.dir_dataset, "train", f)
@@ -84,9 +93,9 @@ def test_train_cli_main(tmp_path, monkeypatch):
 
     # with -pdc the YAML must be self-contained: it REPLACES the dataset
     # block, exactly as the reference's if/else does (args.py:79-152)
-    cfg = dict(dataset_name="cv", dir_dataset=args0.dir_dataset,
+    cfg = dict(dataset_name="custom", dir_dataset=args0.dir_dataset,
                batch_size=4, n_epochs=1, crop_size=[48, 64],
-               ignore_index=11, n_classes=11, downsample=1,
+               ignore_index=11, n_classes=11,
                mean=[0.5, 0.5, 0.5], std=[0.25, 0.25, 0.25],
                optimizer_type="Adam", lr_scheduler_type="MultiStepLR",
                optimizer_params={"lr": 5e-4, "betas": [0.9, 0.999],
