@@ -176,10 +176,37 @@ def _measure_round(args, model, params, batch_stats, *, train_B, pool_B,
     return round_imgs / round_time, train_ips, query_ips
 
 
+def _init_backend_or_die(timeout_s: float = 600.0):
+    """Fail fast (exit 3) if the accelerator backend never initialises.
+
+    The axon TPU tunnel occasionally goes down; ``jax.devices()`` then
+    blocks forever inside backend init and the bench would hang the round
+    driver. The watchdog covers ONLY backend init — compiles afterwards
+    may legitimately take tens of minutes cold."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(f"bench.py: jax backend init did not complete within "
+                  f"{timeout_s:.0f}s (TPU tunnel down?) — aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+
+    devices = jax.devices()
+    done.set()
+    print(f"bench.py: backend up: {devices}", file=sys.stderr, flush=True)
+
+
 def main():
     from pixelpick_tpu.config import enable_compile_cache
 
     enable_compile_cache()
+    _init_backend_or_die()
     parser = argparse.ArgumentParser()
     parser.add_argument("--fast", action="store_true")
     parser.add_argument("--parity", action="store_true",
