@@ -131,6 +131,16 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="number of devices on the ('data',) mesh axis; "
                              "0 = all available devices")
+    parser.add_argument("--dist_coordinator", type=str, default="",
+                        help="multi-host mode: coordinator host:port for "
+                             "jax.distributed.initialize, or 'auto' to use "
+                             "JAX's TPU-pod/cluster auto-detection. Empty = "
+                             "single-process (parallel/distributed.py)")
+    parser.add_argument("--dist_num_processes", type=int, default=1,
+                        help="total number of JAX processes (one per host); "
+                             "used with an explicit --dist_coordinator")
+    parser.add_argument("--dist_process_id", type=int, default=0,
+                        help="this process's rank in [0, dist_num_processes)")
     parser.add_argument("--spatial_query_sharding", action="store_true",
                         default=False,
                         help="shard pool-sweep images over the mesh by "
@@ -272,6 +282,8 @@ def finalize_args(args: Namespace, write_files: bool = True) -> Namespace:
     Mirrors reference ``args.py:59-205`` (parse_args body).
     """
     enable_compile_cache()
+    from pixelpick_tpu.parallel.distributed import initialize_from_args
+    initialize_from_args(args)  # no-op unless --dist_coordinator is set
     configure_tpu_rng(getattr(args, "prng", "auto"))
     if getattr(args, "pallas_dw", False):
         from pixelpick_tpu.models.layers import set_depthwise_impl

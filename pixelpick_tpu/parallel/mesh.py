@@ -35,18 +35,40 @@ def get_mesh(args=None, n_devices: Optional[int] = None) -> Optional[Mesh]:
     return Mesh(np.array(devices[:n]), ("data",))
 
 
+def _put_global(x: np.ndarray, mesh: Mesh, spec: P):
+    """Device-put host data under ``spec`` — multi-process aware.
+
+    Single process: a plain ``device_put``. Multi-process (one JAX process
+    per TPU host, wired by ``jax.distributed.initialize`` — see
+    ``parallel/distributed.py``): every process holds the identical GLOBAL
+    host array (same dataset + seeds everywhere), and hands jax only its
+    process-local rows via ``make_array_from_process_local_data``; the
+    result is one global jax.Array spanning all hosts."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if spec == P():
+        return jax.make_array_from_process_local_data(sharding, x, x.shape)
+    per = x.shape[0] // jax.process_count()
+    lo = jax.process_index() * per
+    return jax.make_array_from_process_local_data(
+        sharding, x[lo:lo + per], x.shape)
+
+
 def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
     """Shard every array on its leading (batch) axis; replicate if the batch
     doesn't divide the mesh (remainder batches)."""
     if mesh is None:
         return batch
     n = mesh.devices.size
+    n_proc = jax.process_count()
 
     def put(x):
-        spec = P("data") if x.shape[0] % n == 0 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        spec = P("data") if x.shape[0] % n == 0 \
+            and x.shape[0] % n_proc == 0 else P()
+        return _put_global(np.asarray(x), mesh, spec)
 
-    return {k: put(np.asarray(v)) for k, v in batch.items()}
+    return {k: put(v) for k, v in batch.items()}
 
 
 def shard_batch_spatial(batch: dict, mesh: Optional[Mesh]) -> dict:
@@ -92,5 +114,8 @@ def shard_pytree(tree, mesh: Optional[Mesh]):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     if mesh is None:
         return tree
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: _put_global(np.asarray(x), mesh, P()), tree)
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
