@@ -32,6 +32,7 @@ from pixelpick_tpu.engine.trainer import (
     make_forward_fn, make_train_step,
 )
 from pixelpick_tpu.models import get_model, init_model
+from pixelpick_tpu.parallel.distributed import is_primary
 from pixelpick_tpu.parallel.mesh import shard_batch, get_mesh
 from pixelpick_tpu.utils.logging import write_log
 from pixelpick_tpu.utils.metrics import AverageMeter, RunningScore, scores_from_confusion
@@ -128,8 +129,13 @@ class ALModel:
         os.makedirs(dir_stage, exist_ok=True)
         self.log_train = f"{dir_stage}/log_train.txt"
         self.log_val = f"{dir_stage}/log_val.txt"
-        write_log(self.log_train, header=["epoch", "mIoU", "pixel_acc", "loss"])
-        write_log(self.log_val, header=["epoch", "mIoU", "pixel_acc"])
+        # multi-host: every process runs the identical compute (collectives
+        # need all participants) but only process 0 writes shared-filesystem
+        # artifacts (parallel/distributed.py contract)
+        if is_primary():
+            write_log(self.log_train,
+                      header=["epoch", "mIoU", "pixel_acc", "loss"])
+            write_log(self.log_val, header=["epoch", "mIoU", "pixel_acc"])
 
         # fresh model per round (model.py:163)
         round_seed = (args.seed * 7919 + self.nth_query + 1) & 0x7FFFFFFF
@@ -156,6 +162,12 @@ class ALModel:
             self.device_pipe.set_queries(self.dataset.queries)
         eval_fn = make_eval_step(self.model, n_classes=args.n_classes,
                                  mean=args.mean, std=args.std)
+        # multi-host: compile-then-barrier around each program's first
+        # dispatch so the cross-process communicator bootstrap (short fixed
+        # timeout) never races compilation skew; single-process passthrough
+        from pixelpick_tpu.parallel.distributed import LockstepJit
+        step_fn = LockstepJit(step_fn, f"step:{stage_name}")
+        eval_fn = LockstepJit(eval_fn, f"eval:{stage_name}")
 
         self.best_miou = -1.0
         self.timer = PhaseTimer()
@@ -176,7 +188,8 @@ class ALModel:
                     self._val(epoch, state, eval_fn, dir_stage)
             if self.debug:
                 break
-        self.timer.dump(f"{dir_stage}/timing.json")
+        if is_primary():
+            self.timer.dump(f"{dir_stage}/timing.json")
         if getattr(args, "ckpt_backend", "msgpack") == "orbax":
             from pixelpick_tpu.engine.checkpoint import wait_for_checkpoints
             wait_for_checkpoints()  # stage artifacts durable before querying
@@ -214,8 +227,9 @@ class ALModel:
         print(f"({self.experim_name}) Epoch {epoch} | mIoU: {miou:.3f} | "
               f"pixel acc: {pixel_acc:.3f} | loss: {self.running_loss.avg:.3f} "
               f"| {n_imgs / max(dt, 1e-9):.1f} imgs/s")
-        write_log(self.log_train,
-                  list_entities=[epoch, miou, pixel_acc, self.running_loss.avg])
+        if is_primary():
+            write_log(self.log_train, list_entities=[
+                epoch, miou, pixel_acc, self.running_loss.avg])
         if last_batch is not None and not args.debug:
             self._visualise(state, last_batch, f"{dir_stage}/{epoch}_train.png")
         return state
@@ -265,13 +279,18 @@ class ALModel:
         miou, pixel_acc = scores["Mean IoU"], scores["Pixel Acc"]
 
         if miou > self.best_miou:
-            save_checkpoint(f"{dir_stage}/best_miou_model.ckpt",
-                            state.params, state.batch_stats,
-                            backend=getattr(args, "ckpt_backend", "msgpack"))
+            # every process tracks best_miou (identical global metrics);
+            # only the primary writes the checkpoint file
+            if is_primary():
+                save_checkpoint(f"{dir_stage}/best_miou_model.ckpt",
+                                state.params, state.batch_stats,
+                                backend=getattr(args, "ckpt_backend",
+                                                "msgpack"))
             print(f"best model saved (epoch {epoch} | prev miou "
                   f"{self.best_miou:.4f} => {miou:.4f})")
             self.best_miou = miou
-        write_log(self.log_val, list_entities=[epoch, miou, pixel_acc])
+        if is_primary():
+            write_log(self.log_val, list_entities=[epoch, miou, pixel_acc])
         print(f"\n{'=' * 80}\nExperim name: {self.experim_name}\n"
               f"Epoch {epoch} | miou: {miou:.3f} | pixel_acc: {pixel_acc:.3f}\n"
               f"{'=' * 80}\n")
@@ -297,9 +316,11 @@ class ALModel:
             ms = np.asarray(uncertainty_map(prob, "margin_sampling"))[0]
             y = batch.get("y")
             target = np.asarray(y)[0] if y is not None else None
-            self.vis({"input": np.asarray(x)[0], "target": target,
-                      "pred": pred, "confidence": lc, "margin": -ms,
-                      "entropy": ent}, fp=fp)
+            if is_primary():  # multi-host: all processes compute (the ops
+                # above are collective on process-spanning arrays), one writes
+                self.vis({"input": np.asarray(x)[0], "target": target,
+                          "pred": pred, "confidence": lc, "margin": -ms,
+                          "entropy": ent}, fp=fp)
         except Exception as e:  # visualisation must never kill a round
             print(f"visualisation failed: {e}")
 

@@ -52,6 +52,10 @@ class QuerySelector:
             mc_n_steps=args.mc_n_steps if args.use_mc_dropout else 0,
             vote_type=args.vote_type,
         )
+        # multi-host: align processes around the sweep kernel's first
+        # dispatch (communicator bootstrap vs compile skew); no-op otherwise
+        from pixelpick_tpu.parallel.distributed import LockstepJit
+        self._score_fn = LockstepJit(self._score_fn, "score")
 
     def __call__(self, nth_query: int, params, batch_stats,
                  human_labels: bool = False) -> Dict[str, dict]:
@@ -72,6 +76,14 @@ class QuerySelector:
             score_in = self._shard(score_in, self.mesh)
             indices, dev_stats = self._score_fn(params, batch_stats,
                                                 score_in, sub)
+            if jax.process_count() > 1:
+                # multi-host: kernel outputs are sharded over all hosts'
+                # devices; gather them so every process sees (and labels)
+                # the full global pick set identically
+                from jax.experimental import multihost_utils as mhu
+                indices = mhu.process_allgather(indices, tiled=True)
+                dev_stats = {k: mhu.process_allgather(v, tiled=True)
+                             for k, v in dev_stats.items()}
             indices = np.asarray(indices)  # (B, n_pixels) flat
             bsz = indices.shape[0]
             valid_rows = []
@@ -103,7 +115,9 @@ class QuerySelector:
 
         assert len(dict_queries) > 0, "no queries are chosen!"
         if not human_labels:
-            stats.save(nth_query)
+            from pixelpick_tpu.parallel.distributed import is_primary
+            if is_primary():
+                stats.save(nth_query)
             print(f"{n_pixels_total} labelled pixels are chosen by "
                   f"{self.args.query_strategy} strategy")
             # keep the pool dataset's masks in sync (query.py:220). Deviation

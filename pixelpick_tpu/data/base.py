@@ -26,7 +26,34 @@ from __future__ import annotations
 import os
 import pickle as pkl
 import random
+import time
 from typing import Dict, List, Optional, Tuple
+
+from pixelpick_tpu.parallel.distributed import is_primary as _is_primary
+
+
+def wait_for_primary_file(path: str, timeout: float = 300.0) -> None:
+    """Multi-host cache coordination: block a NON-primary process until the
+    primary has atomically published ``path`` (no-op on the primary /
+    single-process)."""
+    if _is_primary():
+        return
+    deadline = time.time() + timeout
+    while not os.path.isfile(path):
+        if time.time() > deadline:
+            raise TimeoutError(
+                f"non-primary process waited {timeout:.0f}s for the primary "
+                f"to publish {path}")
+        time.sleep(0.2)
+
+
+def atomic_publish(path: str, write_fn) -> None:
+    """Write via ``write_fn(tmp_path)`` then atomically rename into place,
+    so concurrent readers never observe a torn file."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    write_fn(tmp)
+    os.replace(tmp, path)
 
 import numpy as np
 from PIL import Image
@@ -141,7 +168,7 @@ class SegDatasetBase:
         self.n_pixels_total = int(sum(int(q.sum()) for q in self.queries))
         print(f"# labelled pixels is changed from {previous} to "
               f"{self.n_pixels_total} (delta: {self.n_pixels_total - previous})")
-        if isinstance(nth_query, int):
+        if isinstance(nth_query, int) and _is_primary():
             d = f"{self.dir_checkpoints}/{nth_query}_query"
             os.makedirs(d, exist_ok=True)
             with open(f"{d}/queries.pkl", "wb") as f:
@@ -153,7 +180,15 @@ class SegDatasetBase:
 
     def generate_init_queries(self, n_pixels_per_img: int,
                               path_queries: str) -> None:
-        """Seeded random non-void initial picks, cached (camvid.py:50-96)."""
+        """Seeded random non-void initial picks, cached (camvid.py:50-96).
+
+        Multi-host: the primary process generates and atomically publishes
+        the cache file; non-primary processes wait for it and read — so
+        every process consumes byte-identical initial picks even when the
+        pre-existing cache differs from fresh seeded generation (resumed or
+        human-labelled layouts).
+        """
+        wait_for_primary_file(path_queries)
         if os.path.isfile(path_queries):
             with open(path_queries, "rb") as f:
                 self.queries = codec.decode_queries(pkl.load(f))
@@ -171,9 +206,11 @@ class SegDatasetBase:
                 q[chosen] = True
                 dict_queries.update(codec.encode_query(
                     self.list_inputs[i], (h, w), q.reshape(h, w)))
-            os.makedirs(os.path.dirname(path_queries), exist_ok=True)
-            with open(path_queries, "wb") as f:
-                pkl.dump(dict_queries, f)
+            def _write(p, _q=dict_queries):
+                with open(p, "wb") as f:
+                    pkl.dump(_q, f)
+
+            atomic_publish(path_queries, _write)
             self.queries = codec.decode_queries(dict_queries)
         self.n_pixels_total = int(sum(int(q.sum()) for q in self.queries))
         print("total number of labelled pixels selected as queries:",

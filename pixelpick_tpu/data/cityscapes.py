@@ -64,6 +64,12 @@ def make_downsampled_cityscapes(dir_cityscapes: str, downsample: int = 4,
 class CityscapesDataset(SegDatasetBase):
     dataset_name = "cityscapes"
 
+    def _write_npy(self, path: str) -> None:
+        # np.save appends '.npy' to bare paths, which would break the
+        # atomic_publish tmp-then-rename — write through a file object
+        with open(path, "wb") as f:
+            np.save(f, np.stack(self.queries))
+
     def __init__(self, args, val=False, query=False,
                  generate_init_queries: bool = True):
         super().__init__(args, val=val, query=query)
@@ -88,16 +94,20 @@ class CityscapesDataset(SegDatasetBase):
             # reference caches the initial picks as one stacked bool array
             # (cityscapes.py:66-96); we reuse the same pkl codec for
             # uniformity and also honour an existing .npy cache
+            from pixelpick_tpu.data.base import _is_primary, atomic_publish
             npy = f"{dir_dataset}/init_labelled_pixels_d{ds}_{self.seed}.npy"
             if os.path.isfile(npy):
                 stacked = np.load(npy)
                 self.queries = [stacked[i] for i in range(stacked.shape[0])]
                 self.n_pixels_total = int(stacked.sum())
             else:
+                # multi-host: generate_init_queries itself makes non-primary
+                # processes wait for the primary's queries.pkl (base.py)
                 self.generate_init_queries(
                     args.n_pixels_by_us,
                     f"{self.dir_checkpoints}/0_query/queries.pkl")
-                np.save(npy, np.stack(self.queries))
-            os.makedirs(f"{self.dir_checkpoints}/0_query", exist_ok=True)
-            np.save(f"{self.dir_checkpoints}/0_query/label.npy",
-                    np.stack(self.queries))
+                if _is_primary():
+                    atomic_publish(npy, self._write_npy)
+            if _is_primary():
+                atomic_publish(f"{self.dir_checkpoints}/0_query/label.npy",
+                               self._write_npy)

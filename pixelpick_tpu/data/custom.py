@@ -36,7 +36,10 @@ class CustomDataset(SegDatasetBase):
                                or self._infer_size())
 
         if args.n_pixels_by_us != 0 and not val and generate_init_queries:
+            from pixelpick_tpu.data.base import atomic_publish, \
+                wait_for_primary_file
             path_queries = f"{self.dir_checkpoints}/0_query/queries.pkl"
+            wait_for_primary_file(path_queries)  # multi-host: primary writes
             if os.path.isfile(path_queries):
                 with open(path_queries, "rb") as f:
                     self.queries = codec.decode_queries(pkl.load(f))
@@ -53,9 +56,11 @@ class CustomDataset(SegDatasetBase):
                     q[chosen] = True
                     dict_queries.update(codec.encode_query(p, (h, w),
                                                            q.reshape(h, w)))
-                os.makedirs(os.path.dirname(path_queries), exist_ok=True)
-                with open(path_queries, "wb") as f:
-                    pkl.dump(dict_queries, f)
+                def _write(p, _q=dict_queries):
+                    with open(p, "wb") as f:
+                        pkl.dump(_q, f)
+
+                atomic_publish(path_queries, _write)
                 self.queries = codec.decode_queries(dict_queries)
             self.n_pixels_total = int(sum(int(q.sum()) for q in self.queries))
 

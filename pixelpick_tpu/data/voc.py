@@ -96,7 +96,10 @@ class VOC2012Segmentation(SegDatasetBase):
         n_px = args.n_pixels_by_us
         init_n = args.n_init_pixels if args.n_init_pixels > 0 else n_px
         if n_px != 0 and not val and generate_init_queries:
+            from pixelpick_tpu.data.base import atomic_publish, \
+                wait_for_primary_file
             path_queries = f"{args.dir_dataset}/init_labelled_pixels_{self.seed}.pkl"
+            wait_for_primary_file(path_queries)  # multi-host: primary writes
             if os.path.isfile(path_queries):
                 with open(path_queries, "rb") as f:
                     self.queries = pkl.load(f)
@@ -115,12 +118,14 @@ class VOC2012Segmentation(SegDatasetBase):
                     q = np.zeros(h * w, bool)
                     q[chosen] = True
                     qs.append(q.reshape(h, w))
-                with open(path_queries, "wb") as f:
-                    pkl.dump(qs, f)
+                def _write(p, _q=qs):
+                    with open(p, "wb") as f:
+                        pkl.dump(_q, f)
+
+                atomic_publish(path_queries, _write)
                 self.queries = qs
-                os.makedirs(f"{self.dir_checkpoints}/0_query", exist_ok=True)
-                with open(f"{self.dir_checkpoints}/0_query/label.pkl", "wb") as f:
-                    pkl.dump(qs, f)
+                atomic_publish(f"{self.dir_checkpoints}/0_query/label.pkl",
+                               _write)
             self.n_pixels_total = int(sum(int(q.sum()) for q in self.queries))
             print("# labelled pixels used for training:", self.n_pixels_total)
 
@@ -134,10 +139,12 @@ class VOC2012Segmentation(SegDatasetBase):
         self.queries = [np.logical_or(q, m) for q, m in zip(queries, self.queries)]
         self.n_pixels_total = int(sum(int(q.sum()) for q in self.queries))
         if isinstance(nth_query, int):
-            d = f"{self.dir_checkpoints}/{nth_query}_query"
-            os.makedirs(d, exist_ok=True)
-            with open(f"{d}/label.pkl", "wb") as f:
-                pkl.dump(self.queries, f)
+            from pixelpick_tpu.data.base import _is_primary
+            if _is_primary():
+                d = f"{self.dir_checkpoints}/{nth_query}_query"
+                os.makedirs(d, exist_ok=True)
+                with open(f"{d}/label.pkl", "wb") as f:
+                    pkl.dump(self.queries, f)
         print(f"# labelled pixels is changed from {previous} to "
               f"{self.n_pixels_total} (delta: {self.n_pixels_total - previous})")
         return self.n_pixels_total

@@ -52,6 +52,15 @@ def initialize_from_args(args) -> bool:
             num_processes=args.dist_num_processes,
             process_id=args.dist_process_id,
         )
+    # Bootstrap the cross-process collectives context NOW, while every
+    # process is still in lockstep from the initialize() rendezvous. The
+    # communicator bootstrap (e.g. gloo's KV exchange) has a fixed ~30s
+    # timeout, but the first collective of a real program can otherwise be
+    # preceded by minutes of (cache-skewed) compilation on slow hosts —
+    # the processes would reach it too far apart and the bootstrap die.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("pixelpick_tpu:dist_init")
     return True
 
 
@@ -60,3 +69,74 @@ def is_primary() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def barrier(name: str, timeout_s: float = 1800.0) -> None:
+    """Coordination-service barrier across all processes (no-op
+    single-process). Pure gRPC — safe under arbitrary skew, unlike device
+    collectives whose bootstrap rendezvous has a short fixed timeout."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier(name, int(timeout_s * 1000))
+
+
+class LockstepJit:
+    """Multi-process-safe wrapper around a jitted collective program.
+
+    Each XLA executable bootstraps its own cross-process communicator (e.g.
+    a gloo context) at FIRST execution, with a short fixed key-value
+    rendezvous timeout (~30 s). But the first dispatch of a program is
+    preceded by its compilation — minutes here, and arbitrarily skewed
+    between processes (cache hits, host contention) — so processes can
+    reach the rendezvous too far apart and the bootstrap dies with
+    "Gloo context initialization failed: DEADLINE_EXCEEDED".
+
+    Fix: on the first call with a new argument signature, compile locally
+    first (``fn.lower(*args).compile()`` warms the jit dispatch cache),
+    then realign every process with a coordination-service :func:`barrier`
+    (long timeout, pure RPC), and only then dispatch — all processes now
+    enqueue the collective within milliseconds of each other.
+
+    Single-process: a zero-overhead passthrough.
+    """
+
+    def __init__(self, fn, name: str):
+        self._fn = fn
+        self._name = name
+        self._seen: set = set()
+
+    @staticmethod
+    def _sig(args):
+        import jax
+
+        leaves = jax.tree.leaves(args)
+        out = []
+        for leaf in leaves:
+            shape = getattr(leaf, "shape", None)
+            dtype = str(getattr(leaf, "dtype", type(leaf).__name__))
+            sh = getattr(leaf, "sharding", None)
+            spec = str(getattr(sh, "spec", None)) if sh is not None else None
+            out.append((shape, dtype, spec))
+        return tuple(out)
+
+    def __call__(self, *args, **kwargs):
+        import jax
+
+        if jax.process_count() > 1:
+            key = (self._sig(args), tuple(sorted(kwargs.items())))
+            if key not in self._seen:
+                import zlib
+
+                self._fn.lower(*args, **kwargs).compile()
+                # deterministic digest: str hashes are per-process salted
+                digest = zlib.crc32(repr(key).encode())
+                barrier(f"{self._name}:{digest}")
+                self._seen.add(key)
+        return self._fn(*args, **kwargs)
+
+    def __getattr__(self, item):  # delegate .lower etc.
+        return getattr(self._fn, item)
