@@ -99,8 +99,9 @@ def main():
         params, batch_stats = load_checkpoint(args.p_state_dict, params, batch_stats)
         print(f"checkpoint loaded from {args.p_state_dict}")
     dir_vis = f"{args.dir_checkpoints}/val"
-    scores, cls_iu = evaluate(args, params, batch_stats, debug=args.debug,
-                              dir_vis=dir_vis)
+    scores, cls_iu = evaluate(
+        args, params, batch_stats, debug=args.debug, dir_vis=dir_vis,
+        visualize_interval=getattr(args, "visualize_interval", 100))
     write_log(f"{dir_vis}/log_val.txt",
               list_entities=[0, scores["Mean IoU"], scores["Pixel Acc"]],
               header=["epoch", "miou", "pixel_acc"])

@@ -101,6 +101,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--p_dataset_config", "-pdc", type=str, default=None)
     parser.add_argument("--p_state_dict", type=str, default="")
     parser.add_argument("--eval_interval", type=int, default=1)
+    parser.add_argument("--visualize_interval", type=int, default=100,
+                        help="standalone eval CLI: write a 6-panel PNG "
+                             "every N val images (reference eval.py:133 "
+                             "hard-codes 100)")
 
     # ---- TPU-native extensions (no reference equivalent) ----
     parser.add_argument("--precision", type=str, default="f32",

@@ -1,0 +1,48 @@
+"""The standalone `eval.py` CLI main() (reference eval.py:97-134): builds
+the val set from a dataset config, evaluates, writes log_val.txt and the
+periodic 6-panel PNGs under {dir_checkpoints}/val/. (Checkpoint loading +
+evaluate() numerics are covered by test_e2e_variants.py's round-trip.)"""
+
+import os
+import sys
+
+
+def test_eval_cli_main(tmp_path, monkeypatch):
+    import yaml
+
+    from tests.helpers import synthetic_args
+
+    args0 = synthetic_args(tmp_path, n_pixels_by_us=4, max_budget=4)
+    os.rename(os.path.join(args0.dir_dataset, "test"),
+              os.path.join(args0.dir_dataset, "val"))
+    os.rename(os.path.join(args0.dir_dataset, "testannot"),
+              os.path.join(args0.dir_dataset, "valannot"))
+    cfg = dict(dataset_name="custom", dir_dataset=args0.dir_dataset,
+               batch_size=4, n_epochs=1, crop_size=[48, 64],
+               ignore_index=11, n_classes=11,
+               mean=[0.5, 0.5, 0.5], std=[0.25, 0.25, 0.25],
+               optimizer_type="Adam", lr_scheduler_type="MultiStepLR",
+               optimizer_params={"lr": 5e-4, "betas": [0.9, 0.999],
+                                 "weight_decay": 2e-4, "eps": 1e-7})
+    p_cfg = tmp_path / "cfg.yaml"
+    p_cfg.write_text(yaml.safe_dump(cfg))
+    ckpt_dir = str(tmp_path / "eval_ckpt")
+
+    monkeypatch.setattr(sys, "argv", [
+        "eval.py", "-pdc", str(p_cfg), "--dir_checkpoints", ckpt_dir,
+        "--n_workers", "2", "--seed", "0", "--visualize_interval", "2",
+    ])
+    from pixelpick_tpu.cli.eval import main
+
+    main()
+
+    d = os.path.join(ckpt_dir, "val")
+    with open(os.path.join(d, "log_val.txt")) as f:
+        rows = f.read().strip().splitlines()
+    assert rows[0] == "epoch,miou,pixel_acc"
+    epoch, miou, acc = rows[1].split(",")
+    assert 0.0 <= float(miou) <= 1.0 and 0.0 <= float(acc) <= 1.0
+    # periodic visualisation (reference eval.py:74-84): 4 val images,
+    # interval 2 at val_batch_size 1 -> PNGs for images 0 and 2
+    assert os.path.isfile(os.path.join(d, "0.png"))
+    assert os.path.isfile(os.path.join(d, "2.png"))
