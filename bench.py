@@ -206,13 +206,13 @@ def main():
     from pixelpick_tpu.config import enable_compile_cache
 
     enable_compile_cache()
-    _init_backend_or_die()
     parser = argparse.ArgumentParser()
     parser.add_argument("--fast", action="store_true")
     parser.add_argument("--parity", action="store_true",
                         help="also measure the f32/bs4 parity config")
     parser.add_argument("--hw", type=int, nargs=2, default=[360, 480])
-    args_cli = parser.parse_args()
+    args_cli = parser.parse_args()  # --help stays instant: parse first,
+    _init_backend_or_die()          # only then touch the backend
     hw = tuple(args_cli.hw)
 
     # tpu-native production config. Honest (slope-drained) timing shows

@@ -79,6 +79,14 @@ class ALModel:
                                  bucket_stride=bucket,
                                  pad_label=args.ignore_index)
 
+        if jax.process_count() > 1 and \
+                getattr(args, "ckpt_backend", "msgpack") == "orbax":
+            raise NotImplementedError(
+                "--ckpt_backend orbax is not multi-process aware here: "
+                "orbax's save barriers ALL processes, but this driver "
+                "gates checkpoint writes on the primary — the primary "
+                "would deadlock at orbax's sync_global_processes. Use the "
+                "default msgpack backend under --dist_coordinator")
         self.model = get_model(args)
         self.mesh = get_mesh(args)
         self.device_pipe = None
@@ -306,6 +314,9 @@ class ALModel:
     def _visualise(self, state: TrainState, batch, fp: str) -> None:
         """6-panel PNG from image 0 of a batch (model.py:150-158)."""
         try:
+            # slice to image 0 BEFORE fetching: under multi-host the full
+            # batch arrays span non-addressable devices and np.asarray on
+            # them raises; the [:1] slice is materialised addressably
             x = batch["x"][:1]
             if np.issubdtype(np.asarray(x).dtype, np.floating):
                 # device-pipeline batches are already normalised; undo for
@@ -320,7 +331,7 @@ class ALModel:
             lc = np.asarray(uncertainty_map(prob, "least_confidence"))[0]
             ms = np.asarray(uncertainty_map(prob, "margin_sampling"))[0]
             y = batch.get("y")
-            target = np.asarray(y)[0] if y is not None else None
+            target = np.asarray(y[:1])[0] if y is not None else None
             if is_primary():  # multi-host: all processes compute (the ops
                 # above are collective on process-spanning arrays), one writes
                 self.vis({"input": np.asarray(x)[0], "target": target,

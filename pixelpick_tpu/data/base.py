@@ -32,10 +32,12 @@ from typing import Dict, List, Optional, Tuple
 from pixelpick_tpu.parallel.distributed import is_primary as _is_primary
 
 
-def wait_for_primary_file(path: str, timeout: float = 300.0) -> None:
+def wait_for_primary_file(path: str, timeout: float = 1800.0) -> None:
     """Multi-host cache coordination: block a NON-primary process until the
     primary has atomically published ``path`` (no-op on the primary /
-    single-process)."""
+    single-process). The generous timeout covers first-run generation that
+    reads every label image (VOC ~10k files). The path must live on a
+    filesystem shared by all processes."""
     if _is_primary():
         return
     deadline = time.time() + timeout
@@ -179,8 +181,12 @@ class SegDatasetBase:
         self.list_labelled_queries = labelled_queries
 
     def generate_init_queries(self, n_pixels_per_img: int,
-                              path_queries: str) -> None:
+                              path_queries: str,
+                              void_filter: bool = True) -> None:
         """Seeded random non-void initial picks, cached (camvid.py:50-96).
+        ``void_filter=False`` samples uniformly over ALL pixels — the
+        custom-dataset semantics (reference custom_dataset.py:66-79, whose
+        train split may have no labels at all).
 
         Multi-host: the primary process generates and atomically publishes
         the cache file; non-primary processes wait for it and read — so
@@ -198,8 +204,10 @@ class SegDatasetBase:
             for i in range(len(self.list_inputs)):
                 label = self._load_y(i)
                 h, w = label.shape
-                flat = label.reshape(-1)
-                cand = np.nonzero(flat != self.ignore_index)[0]
+                if void_filter:
+                    cand = np.nonzero(label.reshape(-1) != self.ignore_index)[0]
+                else:
+                    cand = np.arange(h * w)
                 chosen = rng.choice(cand, min(n_pixels_per_img, len(cand)),
                                     replace=False)
                 q = np.zeros(h * w, bool)

@@ -77,10 +77,24 @@ class CityscapesDataset(SegDatasetBase):
         # the reference always evaluates at half resolution (cityscapes.py:25-28)
         dir_dataset = f"{args.dir_dataset}_d{ds}" if (ds > 1 and not val) \
             else f"{args.dir_dataset}_d2"
-        if not os.path.isdir(dir_dataset):
-            print("Downsampling Cityscapes images...")
-            make_downsampled_cityscapes(args.dir_dataset, downsample=ds, val=False)
-            make_downsampled_cityscapes(args.dir_dataset, downsample=ds, val=True)
+        # multi-host: only the primary builds the downsample cache; a "done"
+        # sentinel gates readers so a lagging process can never glob a
+        # half-built directory (the dir appears long before it's complete)
+        from pixelpick_tpu.data.base import _is_primary, wait_for_primary_file
+        sentinel = f"{dir_dataset}/.downsample_complete"
+        if _is_primary():
+            if not os.path.isfile(sentinel):
+                if not os.path.isdir(dir_dataset):
+                    print("Downsampling Cityscapes images...")
+                    make_downsampled_cityscapes(args.dir_dataset,
+                                                downsample=ds, val=False)
+                    make_downsampled_cityscapes(args.dir_dataset,
+                                                downsample=ds, val=True)
+                # pre-existing dirs (built before sentinels) count as done
+                with open(sentinel, "w") as f:
+                    f.write("ok\n")
+        else:
+            wait_for_primary_file(sentinel, timeout=7200.0)
         mode = "val" if val else "train"
         self.list_inputs = sorted(glob(f"{dir_dataset}/leftImg8bit/{mode}/**/*.png"))
         self.list_labels = sorted(glob(f"{dir_dataset}/gtFine/{mode}/**/*_labelIds.png"))

@@ -6,15 +6,11 @@ Initial queries are random over *all* pixels (no void filtering,
 
 from __future__ import annotations
 
-import os
-import pickle as pkl
 from glob import glob
-from typing import Dict, List
 
 import numpy as np
 from PIL import Image
 
-from pixelpick_tpu.active import codec
 from pixelpick_tpu.data.base import SegDatasetBase
 
 
@@ -36,33 +32,13 @@ class CustomDataset(SegDatasetBase):
                                or self._infer_size())
 
         if args.n_pixels_by_us != 0 and not val and generate_init_queries:
-            from pixelpick_tpu.data.base import atomic_publish, \
-                wait_for_primary_file
-            path_queries = f"{self.dir_checkpoints}/0_query/queries.pkl"
-            wait_for_primary_file(path_queries)  # multi-host: primary writes
-            if os.path.isfile(path_queries):
-                with open(path_queries, "rb") as f:
-                    self.queries = codec.decode_queries(pkl.load(f))
-            else:
-                # custom datasets may have no labels at all: sample pixels
-                # uniformly without void filtering (custom_dataset.py:66-79)
-                rng = np.random.RandomState(self.seed)
-                dict_queries: Dict[str, dict] = {}
-                for i, p in enumerate(self.list_inputs):
-                    w, h = Image.open(p).size
-                    chosen = rng.choice(h * w, min(args.n_pixels_by_us, h * w),
-                                        replace=False)
-                    q = np.zeros(h * w, bool)
-                    q[chosen] = True
-                    dict_queries.update(codec.encode_query(p, (h, w),
-                                                           q.reshape(h, w)))
-                def _write(p, _q=dict_queries):
-                    with open(p, "wb") as f:
-                        pkl.dump(_q, f)
-
-                atomic_publish(path_queries, _write)
-                self.queries = codec.decode_queries(dict_queries)
-            self.n_pixels_total = int(sum(int(q.sum()) for q in self.queries))
+            # custom datasets may have no labels at all: sample pixels
+            # uniformly without void filtering (custom_dataset.py:66-79).
+            # The base helper carries the multi-host publish/wait protocol.
+            self.generate_init_queries(
+                args.n_pixels_by_us,
+                f"{self.dir_checkpoints}/0_query/queries.pkl",
+                void_filter=False)
 
     def _infer_size(self):
         w, h = Image.open(self.list_inputs[0]).size

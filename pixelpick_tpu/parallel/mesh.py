@@ -30,6 +30,14 @@ def get_mesh(args=None, n_devices: Optional[int] = None) -> Optional[Mesh]:
     devices = jax.devices()
     n = n_devices or (getattr(args, "data_parallel", 0) or len(devices))
     n = min(n, len(devices))
+    if jax.process_count() > 1 and n != len(devices):
+        # a sub-mesh would leave some processes with zero addressable mesh
+        # devices; make_array_from_process_local_data then rejects the
+        # process-local rows (verified) — require the full global mesh
+        raise ValueError(
+            f"--data_parallel={n} under multi-process must use all "
+            f"{len(devices)} global devices (one mesh spanning every "
+            "process); drop the flag or set it to 0")
     if n <= 1:
         return None
     return Mesh(np.array(devices[:n]), ("data",))
