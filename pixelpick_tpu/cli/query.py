@@ -63,11 +63,14 @@ def main():
     qs = QuerySelector(args, loader, model, mesh=mesh)
     dict_queries = qs(nth_query=nth_query, params=params,
                       batch_stats=batch_stats, human_labels=True)
-    d = f"{args.dir_checkpoints}/{nth_query}_query"
-    os.makedirs(d, exist_ok=True)
-    with open(f"{d}/queries.pkl", "wb") as f:
-        pkl.dump(dict_queries, f)
-    print(f"Queries are saved at {d}/queries.pkl")
+    from pixelpick_tpu.parallel.distributed import is_primary
+
+    if is_primary():  # multi-host: one writer on a shared filesystem
+        d = f"{args.dir_checkpoints}/{nth_query}_query"
+        os.makedirs(d, exist_ok=True)
+        with open(f"{d}/queries.pkl", "wb") as f:
+            pkl.dump(dict_queries, f)
+        print(f"Queries are saved at {d}/queries.pkl")
 
 
 if __name__ == "__main__":

@@ -103,6 +103,35 @@ def test_two_process_train_step_matches_single_process():
 import pytest  # noqa: E402
 
 
+def test_lockstep_jit_single_process_passthrough():
+    """LockstepJit is invisible single-process: identical results, no
+    barriers, and its signature key is stable across equivalent calls."""
+    import jax.numpy as jnp
+    from pixelpick_tpu.parallel.distributed import LockstepJit
+
+    @jax.jit
+    def f(x, y):
+        return x * 2 + y.sum()
+
+    wrapped = LockstepJit(f, "test")
+    x = jnp.arange(6.0).reshape(2, 3)
+    y = jnp.ones((4,))
+    np.testing.assert_allclose(np.asarray(wrapped(x, y)),
+                               np.asarray(f(x, y)))
+    assert wrapped._seen == set()  # no lockstep bookkeeping single-process
+
+    # signature keying: same shapes/dtypes -> same key; new shape -> new key
+    s1 = LockstepJit._sig((x, y))
+    s2 = LockstepJit._sig((x + 1, y * 3))
+    s3 = LockstepJit._sig((x.reshape(3, 2), y))
+    assert s1 == s2 and s1 != s3
+    # keys are process-deterministic (crc32 of repr, never salted hash())
+    import zlib
+    assert zlib.crc32(repr(s1).encode()) == zlib.crc32(repr(s2).encode())
+    # attribute delegation to the wrapped jit function
+    assert hasattr(wrapped, "lower")
+
+
 @pytest.mark.slow
 def test_two_process_al_driver(tmp_path):
     """The FULL AL loop (2 rounds: train + val + sweep + label + artifacts)
