@@ -79,14 +79,6 @@ class ALModel:
                                  bucket_stride=bucket,
                                  pad_label=args.ignore_index)
 
-        if jax.process_count() > 1 and \
-                getattr(args, "ckpt_backend", "msgpack") == "orbax":
-            raise NotImplementedError(
-                "--ckpt_backend orbax is not multi-process aware here: "
-                "orbax's save barriers ALL processes, but this driver "
-                "gates checkpoint writes on the primary — the primary "
-                "would deadlock at orbax's sync_global_processes. Use the "
-                "default msgpack backend under --dist_coordinator")
         self.model = get_model(args)
         self.mesh = get_mesh(args)
         self.device_pipe = None
@@ -292,13 +284,15 @@ class ALModel:
         miou, pixel_acc = scores["Mean IoU"], scores["Pixel Acc"]
 
         if miou > self.best_miou:
-            # every process tracks best_miou (identical global metrics);
-            # only the primary writes the checkpoint file
-            if is_primary():
+            # every process tracks best_miou (identical global metrics).
+            # msgpack: only the primary writes the file. orbax: EVERY
+            # process must enter save() — orbax barriers all processes and
+            # routes the writes/commit through the primary internally
+            backend = getattr(args, "ckpt_backend", "msgpack")
+            if backend == "orbax" or is_primary():
                 save_checkpoint(f"{dir_stage}/best_miou_model.ckpt",
                                 state.params, state.batch_stats,
-                                backend=getattr(args, "ckpt_backend",
-                                                "msgpack"))
+                                backend=backend)
             print(f"best model saved (epoch {epoch} | prev miou "
                   f"{self.best_miou:.4f} => {miou:.4f})")
             self.best_miou = miou

@@ -31,6 +31,10 @@ import jax
 
 _orbax_ckptr = None
 _STEP_RE = re.compile(r"^step_(\d+)$")
+# next step number per orbax root — deterministic across processes (every
+# process performs the same sequence of saves), unlike re-listing a shared
+# directory that another process may be mid-commit on
+_next_step: dict = {}
 
 
 def _orbax():
@@ -71,15 +75,26 @@ def save_checkpoint(path: str, params, batch_stats,
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
+        from pixelpick_tpu.parallel.distributed import is_primary
+
         root = os.path.abspath(path) + ".orbax"
         ckptr = _orbax()
         ckptr.wait_until_finished()  # one save in flight at a time
-        steps = _orbax_steps(root)
-        # previous save is durable now — prune everything but the newest
-        for s in steps[:-1]:
-            shutil.rmtree(os.path.join(root, f"step_{s:08d}"),
-                          ignore_errors=True)
-        nxt = (steps[-1] + 1) if steps else 0
+        if root not in _next_step:
+            # first touch: resume numbering from committed steps on disk
+            # (stable — no save can be in flight across run boundaries)
+            steps = _orbax_steps(root)
+            _next_step[root] = (steps[-1] + 1) if steps else 0
+        # previous save is durable now — prune everything but the newest.
+        # Multi-host: one pruner; orbax itself barriers all processes in
+        # save(), so every process must call it (its internals route the
+        # actual writes/commit through the primary)
+        if is_primary():
+            for s in _orbax_steps(root)[:-1]:
+                shutil.rmtree(os.path.join(root, f"step_{s:08d}"),
+                              ignore_errors=True)
+        nxt = _next_step[root]
+        _next_step[root] = nxt + 1
         ckptr.save(os.path.join(root, f"step_{nxt:08d}"),
                    args=ocp.args.StandardSave(payload))
         return

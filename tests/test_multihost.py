@@ -132,6 +132,35 @@ def test_lockstep_jit_single_process_passthrough():
     assert hasattr(wrapped, "lower")
 
 
+def test_two_process_orbax_checkpoint(tmp_path):
+    """--ckpt_backend orbax under multi-process: every process enters
+    save() (orbax barriers them; writes/commit route through the primary),
+    step numbering stays process-deterministic, pruning keeps exactly the
+    newest durable step, and both processes restore identical values."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO, "tests", "multihost_ckpt_worker.py"),
+             str(pid), str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    for out in outs:
+        m = re.search(r"RESULT \d ok steps=(\S+)", out)
+        assert m, out[-3000:]
+        # step 0 was pruned by the third save (all-but-newest-durable);
+        # steps 1 (durable fallback) and 2 (newest) remain
+        assert m.group(1) == "step_00000001,step_00000002", m.group(1)
+
+
 @pytest.mark.slow
 def test_two_process_al_driver(tmp_path):
     """The FULL AL loop (2 rounds: train + val + sweep + label + artifacts)
