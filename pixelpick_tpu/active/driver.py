@@ -84,11 +84,6 @@ class ALModel:
         self.device_pipe = None
         if getattr(args, "device_augment", False) and not fully_sup \
                 and not human_labels:
-            if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "--device_augment is not yet multi-process aware (its "
-                    "staging device_puts assume all mesh devices are "
-                    "addressable); drop the flag under --dist_coordinator")
             from pixelpick_tpu.data.device_pipeline import DevicePipeline
             self.device_pipe = DevicePipeline(self.dataset, args,
                                               mesh=self.mesh)

@@ -275,6 +275,21 @@ class DevicePipeline:
     in place — the production input path and data parallelism compose.
     """
 
+    def _stage(self, arr):
+        """Put a staging array in HBM. Multi-process: replicate it across
+        the GLOBAL mesh (every process holds the identical host copy — the
+        multi-host dataset contract) so the sharded batch program can
+        consume it; single-process: a plain local device array."""
+        import jax as _jax
+
+        if self.mesh is not None and _jax.process_count() > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from pixelpick_tpu.parallel.mesh import _put_global
+
+            return _put_global(np.asarray(arr), self.mesh, P())
+        return jnp.asarray(arr)
+
     def __init__(self, dataset, args, k_max: int | None = None, mesh=None):
         self.mesh = mesh
         n = len(dataset)
@@ -292,14 +307,14 @@ class DevicePipeline:
             for i, (x, y) in enumerate(samples):
                 xs[i, :x.shape[0], :x.shape[1]] = x
                 ys[i, :y.shape[0], :y.shape[1]] = y
-            self.hw = jnp.asarray(np.stack([hs, ws], -1).astype(np.int32))
+            self.hw = self._stage(np.stack([hs, ws], -1).astype(np.int32))
         else:
             xs = np.stack([dataset._load_x(i) for i in range(n)])
             ys = np.stack([dataset._load_y(i)
                            for i in range(n)]).astype(np.int32)
             self.hw = None
-        self.images = jnp.asarray(xs)   # (N,H,W,3) uint8 in HBM
-        self.labels = jnp.asarray(ys)
+        self.images = self._stage(xs)   # (N,H,W,3) uint8 in HBM
+        self.labels = self._stage(ys)
         self.queries = None
         self.crop_hw = tuple(dataset.crop_size)
         self.k_max = int(k_max or dataset.k_max)
@@ -347,11 +362,22 @@ class DevicePipeline:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from pixelpick_tpu.parallel.distributed import LockstepJit
+
             out = NamedSharding(mesh, P("data"))
-            self._batch_fn_sharded = jax.jit(
+            self._batch_fn_sharded = LockstepJit(jax.jit(
                 batch_impl,
                 out_shardings={"x": out, "coords": out, "labels": out,
-                               "valid": out})
+                               "valid": out}), "pipe_sharded")
+            if jax.process_count() > 1:
+                # multi-process: the staged arrays are GLOBAL (replicated),
+                # so the plain local jit can't consume them — remainder
+                # batches fall back to replicated outputs instead
+                rep = NamedSharding(mesh, P())
+                self._batch_fn = LockstepJit(jax.jit(
+                    batch_impl,
+                    out_shardings={"x": rep, "coords": rep, "labels": rep,
+                                   "valid": rep}), "pipe_replicated")
 
     @staticmethod
     def _variable_sample(dataset, i):
@@ -366,15 +392,21 @@ class DevicePipeline:
             qs = np.zeros((n, sh, sw), bool)
             for i, q in enumerate(queries_list):
                 qs[i, :q.shape[0], :q.shape[1]] = q
-            self.queries = jnp.asarray(qs)
+            self.queries = self._stage(qs)
         else:
-            self.queries = jnp.asarray(np.stack(queries_list))
+            self.queries = self._stage(np.stack(queries_list))
 
     def sample_batch(self, indices: np.ndarray, rng) -> dict:
         assert self.queries is not None, "call set_queries() first"
         fn = self._batch_fn
+        n_proc = jax.process_count()
         if self._batch_fn_sharded is not None \
-                and len(indices) % self.mesh.devices.size == 0:
+                and len(indices) % self.mesh.devices.size == 0 \
+                and len(indices) % n_proc == 0:
             fn = self._batch_fn_sharded  # remainder batches stay unsharded
+        if n_proc > 1:
+            # the key was folded on this process's default device; pass it
+            # as a host value so it enters the global program replicated
+            rng = np.asarray(rng)
         return fn(self.images, self.labels, self.queries,
-                  jnp.asarray(indices, jnp.int32), rng, hws=self.hw)
+                  np.asarray(indices, np.int32), rng, hws=self.hw)

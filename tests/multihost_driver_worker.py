@@ -10,6 +10,7 @@ import sys
 
 def main():
     pid, port, root = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    extra = sys.argv[4:]  # e.g. "device_augment"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
 
@@ -25,6 +26,7 @@ def main():
         query_strategy="margin_sampling", n_workers=1,
         dist_coordinator=f"localhost:{port}",
         dist_num_processes=2, dist_process_id=pid,
+        **{k: True for k in extra},
     )
     assert jax.process_count() == 2 and jax.device_count() == 8
 

@@ -161,14 +161,9 @@ def test_two_process_orbax_checkpoint(tmp_path):
         assert m.group(1) == "step_00000001,step_00000002", m.group(1)
 
 
-@pytest.mark.slow
-def test_two_process_al_driver(tmp_path):
-    """The FULL AL loop (2 rounds: train + val + sweep + label + artifacts)
-    driven by two jax.distributed processes sharing one checkpoint dir:
-    exits clean, writes each artifact exactly once (primary-gated IO), and
-    picks the SAME pixels as a single-process run of the identical config
-    on this process's own 8-device mesh."""
-    import pickle as pkl
+def _run_two_process_driver(tmp_path, extra=()):
+    """Launch the full AL campaign in two jax.distributed worker processes
+    sharing one checkpoint dir; return (results, ckpt_dir, root)."""
     import yaml
     from tests.helpers import make_synthetic_camvid
 
@@ -194,7 +189,7 @@ def test_two_process_al_driver(tmp_path):
         subprocess.Popen(
             [sys.executable,
              os.path.join(REPO, "tests", "multihost_driver_worker.py"),
-             str(pid), str(port), str(root)],
+             str(pid), str(port), str(root), *extra],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=REPO)
         for pid in (0, 1)
@@ -224,6 +219,27 @@ def test_two_process_al_driver(tmp_path):
     # no torn tmp files left behind
     assert not [p for p in os.listdir(os.path.join(ckpt_dir, "0_query"))
                 if ".tmp." in p]
+    return results, ckpt_dir, root
+
+
+@pytest.mark.slow
+def test_two_process_al_driver_device_augment(tmp_path):
+    """--device_augment composes with multi-process: the dataset stages
+    replicated across the GLOBAL mesh, the jitted augment/gather program
+    emits mesh-sharded batches (replicated for remainder batches), and the
+    full campaign completes with identical state on both processes."""
+    _run_two_process_driver(tmp_path, extra=("device_augment",))
+
+
+@pytest.mark.slow
+def test_two_process_al_driver(tmp_path):
+    """The FULL AL loop (2 rounds: train + val + sweep + label + artifacts)
+    driven by two jax.distributed processes sharing one checkpoint dir:
+    exits clean, writes each artifact exactly once (primary-gated IO), and
+    matches a single-process run's budget accounting and artifact layout."""
+    import pickle as pkl
+
+    results, ckpt_dir, root = _run_two_process_driver(tmp_path)
 
     # single-process run of the identical config: same budget accounting
     # and artifact structure. Pick-for-pick equality is NOT asserted here:
