@@ -32,7 +32,7 @@ from pixelpick_tpu.engine.trainer import (
     make_forward_fn, make_train_step,
 )
 from pixelpick_tpu.models import get_model, init_model
-from pixelpick_tpu.parallel.distributed import is_primary
+from pixelpick_tpu.parallel.distributed import LockstepJit, is_primary
 from pixelpick_tpu.parallel.mesh import shard_batch, get_mesh
 from pixelpick_tpu.utils.logging import write_log
 from pixelpick_tpu.utils.metrics import AverageMeter, RunningScore, scores_from_confusion
@@ -165,7 +165,6 @@ class ALModel:
         # multi-host: compile-then-barrier around each program's first
         # dispatch so the cross-process communicator bootstrap (short fixed
         # timeout) never races compilation skew; single-process passthrough
-        from pixelpick_tpu.parallel.distributed import LockstepJit
         step_fn = LockstepJit(step_fn, f"step:{stage_name}")
         eval_fn = LockstepJit(eval_fn, f"eval:{stage_name}")
 

@@ -20,6 +20,7 @@ import numpy as np
 from pixelpick_tpu.active import codec
 from pixelpick_tpu.active.acquisition import make_score_fn
 from pixelpick_tpu.active.stats import QueryStats
+from pixelpick_tpu.parallel.distributed import LockstepJit, is_primary
 from pixelpick_tpu.parallel.mesh import shard_batch, shard_batch_spatial
 
 
@@ -54,7 +55,6 @@ class QuerySelector:
         )
         # multi-host: align processes around the sweep kernel's first
         # dispatch (communicator bootstrap vs compile skew); no-op otherwise
-        from pixelpick_tpu.parallel.distributed import LockstepJit
         self._score_fn = LockstepJit(self._score_fn, "score")
 
     def __call__(self, nth_query: int, params, batch_stats,
@@ -115,7 +115,6 @@ class QuerySelector:
 
         assert len(dict_queries) > 0, "no queries are chosen!"
         if not human_labels:
-            from pixelpick_tpu.parallel.distributed import is_primary
             if is_primary():
                 stats.save(nth_query)
             print(f"{n_pixels_total} labelled pixels are chosen by "

@@ -29,6 +29,9 @@ import random
 import time
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+from PIL import Image
+
 from pixelpick_tpu.parallel.distributed import is_primary as _is_primary
 
 
@@ -56,9 +59,6 @@ def atomic_publish(path: str, write_fn) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     write_fn(tmp)
     os.replace(tmp, path)
-
-import numpy as np
-from PIL import Image
 
 from pixelpick_tpu.active import codec
 

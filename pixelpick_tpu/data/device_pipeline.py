@@ -280,9 +280,7 @@ class DevicePipeline:
         the GLOBAL mesh (every process holds the identical host copy — the
         multi-host dataset contract) so the sharded batch program can
         consume it; single-process: a plain local device array."""
-        import jax as _jax
-
-        if self.mesh is not None and _jax.process_count() > 1:
+        if self.mesh is not None and jax.process_count() > 1:
             from jax.sharding import PartitionSpec as P
 
             from pixelpick_tpu.parallel.mesh import _put_global
