@@ -16,26 +16,24 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from pixelpick_tpu.active.acquisition import uncertainty_map
 from pixelpick_tpu.active.selector import QuerySelector
 from pixelpick_tpu.data import get_dataset, Loader
 from pixelpick_tpu.engine.checkpoint import save_checkpoint
 from pixelpick_tpu.engine.optim import make_optimizer
 from pixelpick_tpu.engine.trainer import (
     TrainState, create_train_state, make_dense_train_step, make_eval_step,
-    make_forward_fn, make_train_step,
+    make_train_step,
 )
 from pixelpick_tpu.models import get_model, init_model
 from pixelpick_tpu.parallel.distributed import LockstepJit, is_primary
 from pixelpick_tpu.parallel.mesh import shard_batch, get_mesh
 from pixelpick_tpu.utils.logging import write_log
-from pixelpick_tpu.utils.metrics import AverageMeter, RunningScore, scores_from_confusion
+from pixelpick_tpu.utils.metrics import AverageMeter, RunningScore
 from pixelpick_tpu.utils.profiling import PhaseTimer, trace
 from pixelpick_tpu.utils.visualiser import Visualiser
 
@@ -90,7 +88,6 @@ class ALModel:
         self.vis = Visualiser(args.dataset_name)
         self.query_selector = QuerySelector(args, self.loader_query,
                                             self.model, mesh=self.mesh)
-        self._forward = make_forward_fn(self.model, mean=args.mean, std=args.std)
         self.running_loss = AverageMeter()
 
     def close(self) -> None:
@@ -181,7 +178,15 @@ class ALModel:
             with self.timer.phase("train", len(self.dataset)), \
                     trace(f"{profile_dir}/train" if epoch == trace_epoch
                           else None):
-                state = self._train_epoch(epoch, state, step_fn, rng, dir_stage)
+                state, last_batch = self._train_epoch(epoch, state, step_fn,
+                                                      rng)
+            # per-epoch train PNG (model.py:150-158) — outside the timed
+            # train phase (its own phase in timing.json), computed by the
+            # EVAL program so no dedicated visualisation forward exists
+            if last_batch is not None and not self.debug:
+                with self.timer.phase("vis"):
+                    self._visualise(eval_fn, state, last_batch,
+                                    f"{dir_stage}/{epoch}_train.png")
             if epoch % eval_interval == 0 or epoch == args.n_epochs:
                 with self.timer.phase("val", len(self.dataset_val)):
                     self._val(epoch, state, eval_fn, dir_stage)
@@ -196,8 +201,7 @@ class ALModel:
 
     # ----------------------------- epochs -----------------------------
 
-    def _train_epoch(self, epoch: int, state: TrainState, step_fn, rng,
-                     dir_stage: str) -> TrainState:
+    def _train_epoch(self, epoch: int, state: TrainState, step_fn, rng):
         args = self.args
         if args.n_pixels_by_us:
             print(f"training epoch {epoch} of {self.nth_query}th query "
@@ -208,18 +212,22 @@ class ALModel:
         t0 = time.time()
         n_imgs = 0
         last_batch = None
-        loss = jnp.zeros(())
+        losses = []
         for batch in self._epoch_batches(epoch, rng):
             batch = shard_batch(batch, self.mesh) \
                 if self.device_pipe is None else batch
             state, loss, hist = step_fn(state, batch, rng)
             score.merge(hist)
+            losses.append(loss)
             n_imgs += batch["x"].shape[0]
             last_batch = batch
             if self.debug:
                 break
-        # one host sync per epoch (the reference syncs per iteration)
-        self.running_loss.update(float(loss))
+        # drain the per-step device loss scalars once, at epoch end: the
+        # logged loss is the epoch MEAN, matching the reference's per-iter
+        # running_loss.avg (model.py:126,147) without mid-epoch host syncs
+        for loss in losses:
+            self.running_loss.update(float(loss))
         scores = score.get_scores()[0]
         miou, pixel_acc = scores["Mean IoU"], scores["Pixel Acc"]
         dt = time.time() - t0
@@ -229,9 +237,7 @@ class ALModel:
         if is_primary():
             write_log(self.log_train, list_entities=[
                 epoch, miou, pixel_acc, self.running_loss.avg])
-        if last_batch is not None and not args.debug:
-            self._visualise(state, last_batch, f"{dir_stage}/{epoch}_train.png")
-        return state
+        return state, last_batch
 
     def _epoch_batches(self, epoch: int, rng):
         """Host loader batches, or device-pipeline batches (index-only host
@@ -239,15 +245,10 @@ class ALModel:
         if self.device_pipe is None:
             yield from self.loader
             return
-        args = self.args
-        n = len(self.dataset)
-        order = np.arange(n)
-        np.random.RandomState(args.seed * 100003 + epoch).shuffle(order)
-        bs = args.batch_size
-        batches = [order[i:i + bs] for i in range(0, n, bs)]
-        if batches and len(batches[-1]) != bs and (n % bs) == 1:
-            batches.pop()
-        for bi, idxs in enumerate(batches):
+        # the Loader's batch_index_plan is the single source of the shuffle
+        # and drop-last rules — host-path and device-path runs share the
+        # exact ordering for the same (seed, epoch)
+        for bi, idxs in enumerate(self.loader.batch_index_plan(epoch)):
             key = jax.random.fold_in(rng, epoch * 100003 + bi)
             yield self.device_pipe.sample_batch(idxs, key)
 
@@ -262,16 +263,18 @@ class ALModel:
                 feed = {k: v for k, v in batch.items()
                         if k not in ("index", "hw")}
                 feed = shard_batch(feed, self.mesh)
-                hist, pred = eval_fn(state.params, state.batch_stats, feed)
+                hist, pred, vis = eval_fn(state.params, state.batch_stats,
+                                          feed)
             elif args.dataset_name == "voc":
                 batch, valid_hw = _pad_to_stride(batch, args.stride_total)
-                hist, pred = eval_fn(state.params, state.batch_stats, batch,
-                                     valid_hw=valid_hw)
+                hist, pred, vis = eval_fn(state.params, state.batch_stats,
+                                          batch, valid_hw=valid_hw)
             else:
                 batch = shard_batch(batch, self.mesh)
-                hist, pred = eval_fn(state.params, state.batch_stats, batch)
+                hist, pred, vis = eval_fn(state.params, state.batch_stats,
+                                          batch)
             score.merge(hist)
-            last = (batch, pred)
+            last = (batch, vis)
             if self.debug:
                 break
         scores = score.get_scores()[0]
@@ -296,33 +299,57 @@ class ALModel:
               f"Epoch {epoch} | miou: {miou:.3f} | pixel_acc: {pixel_acc:.3f}\n"
               f"{'=' * 80}\n")
         if last is not None and not args.debug:
-            batch, pred = last
-            self._visualise(state, batch, f"{dir_stage}/{epoch}_val.png")
+            batch, vis = last
+            # the PNG comes straight from the eval step's outputs — zero
+            # extra forward passes for the per-epoch val visualisation
+            x0, target = self._image0(batch)
+            self._write_vis(x0, target, vis, f"{dir_stage}/{epoch}_val.png")
 
-    def _visualise(self, state: TrainState, batch, fp: str) -> None:
-        """6-panel PNG from image 0 of a batch (model.py:150-158)."""
+    def _image0(self, batch):
+        """(uint8 image 0, target 0 or None) of a batch. Slices to image 0
+        BEFORE fetching: under multi-host the full batch arrays span
+        non-addressable devices and np.asarray on them raises; the [:1]
+        slice is materialised addressably."""
+        x = np.asarray(batch["x"][:1])
+        if np.issubdtype(x.dtype, np.floating):
+            # device-pipeline batches are already normalised; undo for
+            # display and for the uint8 eval feed
+            x = np.clip((x * np.asarray(self.args.std)
+                         + np.asarray(self.args.mean)) * 255.0,
+                        0, 255).astype(np.uint8)
+        y = batch.get("y")
+        target = np.asarray(y[:1])[0] if y is not None else None
+        return x[0], target
+
+    def _visualise(self, eval_fn, state: TrainState, batch, fp: str) -> None:
+        """6-panel PNG from image 0 of a TRAIN batch (model.py:150-158),
+        computed by the EVAL program — no dedicated visualisation forward
+        function exists (the reference re-forwards per PNG; a separate
+        jitted bs-1 full-upsample program used to cost an extra 1-5 min TPU
+        compile per run). For fixed-size datasets the bs-1 feed compiles
+        once and is reused by every epoch's train PNG."""
         try:
-            # slice to image 0 BEFORE fetching: under multi-host the full
-            # batch arrays span non-addressable devices and np.asarray on
-            # them raises; the [:1] slice is materialised addressably
-            x = batch["x"][:1]
-            if np.issubdtype(np.asarray(x).dtype, np.floating):
-                # device-pipeline batches are already normalised; undo for
-                # display and for the uint8 forward path
-                x = np.clip((np.asarray(x) * np.asarray(self.args.std)
-                             + np.asarray(self.args.mean)) * 255.0,
-                            0, 255).astype(np.uint8)
-            out = self._forward(state.params, state.batch_stats, x)
-            prob = jax.nn.softmax(out["pred"].astype(jnp.float32), -1)
-            pred = np.asarray(prob.argmax(-1))[0]
-            ent = np.asarray(uncertainty_map(prob, "entropy"))[0]
-            lc = np.asarray(uncertainty_map(prob, "least_confidence"))[0]
-            ms = np.asarray(uncertainty_map(prob, "margin_sampling"))[0]
-            y = batch.get("y")
-            target = np.asarray(y[:1])[0] if y is not None else None
-            if is_primary():  # multi-host: all processes compute (the ops
-                # above are collective on process-spanning arrays), one writes
-                self.vis({"input": np.asarray(x)[0], "target": target,
+            x0, target = self._image0(batch)
+            y0 = target if target is not None \
+                else np.zeros(x0.shape[:2], np.int32)
+            feed = {"x": x0[None], "y": np.asarray(y0, np.int32)[None]}
+            _, _, vis = eval_fn(state.params, state.batch_stats, feed)
+            self._write_vis(x0, target, vis, fp)
+        except Exception as e:  # visualisation must never kill a round
+            print(f"visualisation failed: {e}")
+
+    def _write_vis(self, x0, target, vis, fp: str) -> None:
+        """Render the 6 panels from an eval step's ``vis`` maps."""
+        try:
+            pred = np.asarray(vis["pred"])
+            h, w = pred.shape  # VOC eval: maps are cropped to the true size
+            lc = np.asarray(vis["least_confidence"])
+            ms = np.asarray(vis["margin_sampling"])
+            ent = np.asarray(vis["entropy"])
+            if is_primary():  # multi-host: every process computes, one writes
+                self.vis({"input": np.asarray(x0)[:h, :w],
+                          "target": None if target is None
+                          else np.asarray(target)[:h, :w],
                           "pred": pred, "confidence": lc, "margin": -ms,
                           "entropy": ent}, fp=fp)
         except Exception as e:  # visualisation must never kill a round

@@ -126,6 +126,22 @@ class Loader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def batch_index_plan(self, epoch: int) -> List[np.ndarray]:
+        """The epoch's batch index sequence — shuffle recipe + drop-last rule
+        in ONE place, consumed by ``__iter__`` and by the driver's
+        device-pipeline path (``active/driver.py:_epoch_batches``), so the
+        host-loader and device-augment input modes provably train on the
+        same ordering for the same (seed, epoch)."""
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed * 100003 + epoch).shuffle(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+        if batches and len(batches[-1]) != self.batch_size and self.drop_last:
+            batches.pop()
+        return batches
+
     def _fetch(self, i: int) -> dict:
         if self.mode == "train":
             return self.dataset.train_sample(i, self.epoch,
@@ -139,7 +155,6 @@ class Loader:
         raise ValueError(self.mode)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.dataset)
         if self.bucket_stride is not None:
             # bucketed val/query: batches carry their dataset indices and
             # per-image true sizes; nothing is dropped
@@ -173,14 +188,7 @@ class Loader:
                 batch["hw"] = np.asarray(true_hw, np.int32)
                 return batch
         else:
-            order = np.arange(n)
-            if self.shuffle:
-                np.random.RandomState(
-                    self.seed * 100003 + self.epoch).shuffle(order)
-            batches = [order[i:i + self.batch_size]
-                       for i in range(0, n, self.batch_size)]
-            if batches and len(batches[-1]) != self.batch_size and self.drop_last:
-                batches.pop()
+            batches = self.batch_index_plan(self.epoch)
 
             def make_batch(idxs):
                 return collate(list(self._pool.map(self._fetch, idxs)))
