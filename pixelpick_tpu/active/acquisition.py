@@ -28,8 +28,9 @@ import jax.numpy as jnp
 
 from pixelpick_tpu.engine.trainer import normalize_images
 from pixelpick_tpu.ops.resize import resize_align_corners
-
-MAXIMIZING = ("entropy", "least_confidence")  # query.py:45,53: largest=True
+from pixelpick_tpu.ops.uncertainty import (  # noqa: F401  (re-exports)
+    MAXIMIZING, fill_value, uncertainty_map, xlogx as _xlogx,
+)
 
 
 def _full_res_pred(model, params, batch_stats, x, **apply_kw):
@@ -43,35 +44,6 @@ def _full_res_pred(model, params, batch_stats, x, **apply_kw):
     if pred.shape[1:3] != x.shape[1:3]:
         pred = resize_align_corners(pred, x.shape[1:3])
     return pred
-
-
-def _xlogx(p):
-    """p*log(p) with the p=0 limit (0), avoiding NaN where softmax
-    underflows to exact zero (possible in bf16 tails; the reference's
-    f32 torch path would NaN there too — a defect, not behaviour)."""
-    return jnp.where(p > 0, p * jnp.log(jnp.maximum(p, 1e-30)), 0.0)
-
-
-def uncertainty_map(prob: jnp.ndarray, strategy: str,
-                    rng: jax.Array | None = None) -> jnp.ndarray:
-    """Per-pixel uncertainty from softmax probs (B,H,W,C) -> (B,H,W).
-
-    Reference ``UncertaintySampler`` (query.py:224-247)."""
-    if strategy == "entropy":
-        return -_xlogx(prob).sum(-1)
-    if strategy == "least_confidence":
-        return 1.0 - prob.max(-1)
-    if strategy == "margin_sampling":
-        top2 = jax.lax.top_k(prob, 2)[0]
-        return jnp.abs(top2[..., 0] - top2[..., 1])
-    if strategy == "random":
-        return jax.random.uniform(rng, prob.shape[:-1])
-    raise ValueError(strategy)
-
-
-def fill_value(strategy: str) -> float:
-    """The 'never pick this' value (query.py:196-201)."""
-    return 0.0 if strategy in MAXIMIZING else 1.0
 
 
 def _select_topk(uc_flat, rng, *, strategy, n_pixels, top_n_percent,

@@ -3,10 +3,15 @@ load a checkpoint, run a full evaluation pass, print mIoU/pixel-acc, write
 ``{dir_checkpoints}/val/log_val.txt`` and periodic 6-panel PNGs
 (``eval.py:69-84``).
 
-TPU-native execution: variable-size datasets (VOC) run through the
-shape-bucketed batched loader (≤2 XLA programs instead of one compile per
-image shape, reference pays a bs-1 forward per image at ``eval.py:49-60``);
-pad labels carry the ignore index so the confusion matrix drops them.
+TPU-native execution: batches are sharded over the ``('data',)`` device
+mesh exactly as the driver's validation is (``active/driver.py:_val``) — a
+standalone eval on a pod runs data-parallel, not on one chip. Variable-size
+datasets (VOC) run through the shape-bucketed batched loader (≤2 XLA
+programs instead of one compile per image shape, reference pays a bs-1
+forward per image at ``eval.py:49-60``); pad labels carry the ignore index
+so the confusion matrix drops them. The periodic PNGs come from the eval
+step's own outputs (``ops/uncertainty.py:vis_maps``) — no dedicated
+visualisation forward pass exists.
 """
 
 import os
@@ -17,52 +22,55 @@ import numpy as np
 from pixelpick_tpu.config import Arguments
 from pixelpick_tpu.data import get_dataset, Loader
 from pixelpick_tpu.engine.checkpoint import load_checkpoint
-from pixelpick_tpu.engine.trainer import make_eval_step, make_forward_fn
+from pixelpick_tpu.engine.trainer import make_eval_step
 from pixelpick_tpu.models import get_model, init_model
+from pixelpick_tpu.parallel.mesh import get_mesh, shard_batch
 from pixelpick_tpu.utils.metrics import RunningScore
 from pixelpick_tpu.utils.logging import write_log
 from pixelpick_tpu.active.driver import _pad_to_stride
 
 
-def _visualise(forward, params, batch_stats, batch, pred_row, fp):
-    """6-panel PNG of image 0 of a batch (reference eval.py:69-84)."""
-    from pixelpick_tpu.active.acquisition import uncertainty_map
+def _write_vis(dataset_name, batch, vis, fp):
+    """6-panel PNG of image 0 from the eval step's vis maps
+    (reference eval.py:69-84 re-forwards instead)."""
     from pixelpick_tpu.utils.visualiser import Visualiser
-    import jax.numpy as jnp
 
     try:
-        x = np.asarray(batch["x"][:1])
-        out = forward(params, batch_stats, x)
-        prob = jax.nn.softmax(out["pred"].astype(jnp.float32), -1)
-        ent = np.asarray(uncertainty_map(prob, "entropy"))[0]
-        lc = np.asarray(uncertainty_map(prob, "least_confidence"))[0]
-        ms = np.asarray(uncertainty_map(prob, "margin_sampling"))[0]
+        pred = np.asarray(vis["pred"])
+        h, w = pred.shape  # VOC: maps are cropped to the true image size
+        x0 = np.asarray(batch["x"][:1])[0]
         y = batch.get("y")
-        Visualiser(_visualise.dataset_name)(
-            {"input": x[0], "target": np.asarray(y)[0] if y is not None
-             else None, "pred": np.asarray(pred_row),
-             "confidence": lc, "margin": -ms, "entropy": ent}, fp=fp)
+        Visualiser(dataset_name)(
+            {"input": x0[:h, :w],
+             "target": None if y is None else np.asarray(y[:1])[0][:h, :w],
+             "pred": pred,
+             "confidence": np.asarray(vis["least_confidence"]),
+             "margin": -np.asarray(vis["margin_sampling"]),
+             "entropy": np.asarray(vis["entropy"])}, fp=fp)
     except Exception as e:  # visualisation must never kill an eval
         print(f"visualisation failed: {e}")
-
-
-_visualise.dataset_name = "cv"
 
 
 def evaluate(args, params, batch_stats, loader=None, debug: bool = False,
              dir_vis: str = None, visualize_interval: int = 100):
     model = get_model(args)
+    mesh = get_mesh(args)
     dataset_val = loader.dataset if loader else get_dataset(args, val=True)
     if loader is None:
         bucket = args.stride_total \
             if getattr(dataset_val, "variable_size", False) else None
-        loader = Loader(dataset_val, getattr(args, "val_batch_size", 1),
+        val_bs = getattr(args, "val_batch_size", 1)
+        if mesh is not None and bucket is None:
+            # TPU-first default: round the batch up to a device-count
+            # multiple so the standalone eval runs data-parallel across the
+            # mesh (identical metrics — the confusion matrix is additive
+            # over images; the remainder batch is replicated)
+            val_bs = -(-val_bs // mesh.devices.size) * mesh.devices.size
+        loader = Loader(dataset_val, val_bs,
                         mode="val", n_workers=args.n_workers,
                         bucket_stride=bucket, pad_label=args.ignore_index)
     eval_fn = make_eval_step(model, n_classes=args.n_classes,
                              mean=args.mean, std=args.std)
-    forward = make_forward_fn(model, mean=args.mean, std=args.std)
-    _visualise.dataset_name = args.dataset_name
     if dir_vis:
         os.makedirs(dir_vis, exist_ok=True)
     score = RunningScore(args.n_classes)
@@ -71,17 +79,19 @@ def evaluate(args, params, batch_stats, loader=None, debug: bool = False,
         if getattr(loader, "bucket_stride", None) is not None:
             feed = {k: v for k, v in batch.items()
                     if k not in ("index", "hw")}
-            hist, pred = eval_fn(params, batch_stats, feed)
+            feed = shard_batch(feed, mesh)
+            hist, pred, vis = eval_fn(params, batch_stats, feed)
         elif args.dataset_name == "voc":
             batch, valid_hw = _pad_to_stride(batch, args.stride_total)
-            hist, pred = eval_fn(params, batch_stats, batch,
-                                 valid_hw=valid_hw)
+            feed = shard_batch(batch, mesh)
+            hist, pred, vis = eval_fn(params, batch_stats, feed,
+                                      valid_hw=valid_hw)
         else:
-            hist, pred = eval_fn(params, batch_stats, batch)
+            feed = shard_batch(batch, mesh)
+            hist, pred, vis = eval_fn(params, batch_stats, feed)
         score.merge(hist)
         if dir_vis and (n_img % visualize_interval) == 0:
-            _visualise(forward, params, batch_stats, batch,
-                       np.asarray(pred)[0], f"{dir_vis}/{n_img}.png")
+            _write_vis(args.dataset_name, batch, vis, f"{dir_vis}/{n_img}.png")
         n_img += batch["x"].shape[0]
         if debug:
             break

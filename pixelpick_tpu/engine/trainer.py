@@ -43,6 +43,7 @@ from pixelpick_tpu.ops.resize import (
     gather_bilinear_align_corners, gather_bilinear_matmul,
     resize_align_corners,
 )
+from pixelpick_tpu.ops.uncertainty import vis_maps
 from pixelpick_tpu.utils.metrics import confusion_matrix
 
 
@@ -180,6 +181,12 @@ def make_eval_step(model, *, n_classes: int, mean, std,
     forward pass, predictions cropped back (reference ``model.py:185-191``)
     — handled by the caller via static padded shapes; here ``valid_hw``
     crops the confusion-matrix contribution.
+
+    Returns ``(hist, pred, vis)`` where ``vis`` holds image 0's 6-panel
+    visualisation maps (pred/confidence/margin/entropy) computed from the
+    logits this step already produced — so per-epoch PNGs cost no separate
+    forward pass or XLA program (reference re-forwards per visualisation,
+    ``model.py:150-158``).
     """
 
     @functools.partial(jax.jit, static_argnames=("valid_hw",))
@@ -197,7 +204,7 @@ def make_eval_step(model, *, n_classes: int, mean, std,
             logits = logits[:, :valid_hw[0], :valid_hw[1]]
         pred = logits.argmax(-1)
         hist = confusion_matrix(batch["y"], pred, n_classes)
-        return hist, pred
+        return hist, pred, vis_maps(logits[:1])
 
     return eval_step
 

@@ -28,9 +28,13 @@ def test_eval_cli_main(tmp_path, monkeypatch):
     p_cfg.write_text(yaml.safe_dump(cfg))
     ckpt_dir = str(tmp_path / "eval_ckpt")
 
+    # run 1 — reference cadence: --data_parallel 1 keeps the meshless bs-1
+    # sweep, so the periodic PNGs land exactly as the reference's
+    # per-image interval (eval.py:74-84)
     monkeypatch.setattr(sys, "argv", [
         "eval.py", "-pdc", str(p_cfg), "--dir_checkpoints", ckpt_dir,
         "--n_workers", "2", "--seed", "0", "--visualize_interval", "2",
+        "--data_parallel", "1",
     ])
     from pixelpick_tpu.cli.eval import main
 
@@ -46,3 +50,22 @@ def test_eval_cli_main(tmp_path, monkeypatch):
     # interval 2 at val_batch_size 1 -> PNGs for images 0 and 2
     assert os.path.isfile(os.path.join(d, "0.png"))
     assert os.path.isfile(os.path.join(d, "2.png"))
+    miou_bs1 = float(miou)
+
+    # run 2 — TPU-first default: the standalone eval builds the device mesh
+    # and rounds val_batch_size up to a device-count multiple (8 virtual
+    # devices here), sharding the sweep like the driver's _val. Metrics are
+    # identical (the confusion matrix is additive over images); the PNG
+    # interval is checked per BATCH, so only the first batch visualises.
+    ckpt_dir2 = str(tmp_path / "eval_ckpt_mesh")
+    monkeypatch.setattr(sys, "argv", [
+        "eval.py", "-pdc", str(p_cfg), "--dir_checkpoints", ckpt_dir2,
+        "--n_workers", "2", "--seed", "0", "--visualize_interval", "2",
+    ])
+    main()
+    d2 = os.path.join(ckpt_dir2, "val")
+    with open(os.path.join(d2, "log_val.txt")) as f:
+        rows2 = f.read().strip().splitlines()
+    assert float(rows2[1].split(",")[1]) == miou_bs1
+    assert os.path.isfile(os.path.join(d2, "0.png"))
+    assert not os.path.isfile(os.path.join(d2, "2.png"))

@@ -170,9 +170,9 @@ def test_sharded_eval_step_matches_single_device():
     }
     eval_fn = make_eval_step(model, n_classes=4, mean=[0.5] * 3,
                              std=[0.25] * 3)
-    hist_1, _ = eval_fn(variables["params"], {}, batch)
-    hist_8, _ = eval_fn(variables["params"], {},
-                        shard_batch(batch, get_mesh(n_devices=8)))
+    hist_1, _, _ = eval_fn(variables["params"], {}, batch)
+    hist_8, _, _ = eval_fn(variables["params"], {},
+                           shard_batch(batch, get_mesh(n_devices=8)))
     np.testing.assert_array_equal(np.asarray(hist_1), np.asarray(hist_8))
 
 
