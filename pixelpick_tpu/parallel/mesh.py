@@ -50,17 +50,21 @@ def _put_global(x: np.ndarray, mesh: Mesh, spec: P):
     per TPU host, wired by ``jax.distributed.initialize`` — see
     ``parallel/distributed.py``): every process holds the identical GLOBAL
     host array (same dataset + seeds everywhere), and hands jax only its
-    process-local rows via ``make_array_from_process_local_data``; the
-    result is one global jax.Array spanning all hosts."""
+    process-local slice via ``make_array_from_process_local_data``; the
+    result is one global jax.Array spanning all hosts. Works for a spec
+    sharding any single dimension (batch ``P('data')`` or spatial
+    ``P(None, 'data')``) — the 1-D mesh orders process 0's devices first,
+    so each process's local slice is its contiguous block along that dim."""
     sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
-    if spec == P():
+    dim = next((i for i, s in enumerate(spec) if s is not None), None)
+    if dim is None:  # replicated
         return jax.make_array_from_process_local_data(sharding, x, x.shape)
-    per = x.shape[0] // jax.process_count()
+    per = x.shape[dim] // jax.process_count()
     lo = jax.process_index() * per
-    return jax.make_array_from_process_local_data(
-        sharding, x[lo:lo + per], x.shape)
+    local = x[(slice(None),) * dim + (slice(lo, lo + per),)]
+    return jax.make_array_from_process_local_data(sharding, local, x.shape)
 
 
 def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
@@ -105,7 +109,7 @@ def shard_batch_spatial(batch: dict, mesh: Optional[Mesh]) -> dict:
             sharded_any = True
         else:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put_global(x, mesh, spec)
 
     out = {k: put(v) for k, v in batch.items()}
     if not sharded_any:

@@ -76,6 +76,27 @@ def main():
     print(f"RESULT {pid} loss={float(loss):.10f} "
           f"hist={int(np.asarray(hist).sum())}", flush=True)
 
+    # --spatial_query_sharding under multi-process: height-stripe sharding
+    # must route through _put_global (each process hands jax only its local
+    # stripe of the identical global batch) and reproduce the local result
+    from pixelpick_tpu.parallel.mesh import shard_batch_spatial
+
+    rng = np.random.default_rng(7)
+    sp = {"x": rng.integers(0, 255, (2, 16, 16, 3), dtype=np.uint8)}
+    sharded = shard_batch_spatial(sp, mesh)
+    assert sharded["x"].sharding.spec == (None, "data"), \
+        sharded["x"].sharding.spec
+    params_r = shard_pytree(variables["params"], mesh)
+
+    @jax.jit
+    def fwd(p, x):
+        return model.apply({"params": p}, x.astype(jnp.float32) / 255.0)["pred"]
+
+    chk_sp = float(jnp.abs(fwd(params_r, sharded["x"])).sum())
+    chk_local = float(jnp.abs(fwd(variables["params"], sp["x"])).sum())
+    ok = abs(chk_sp - chk_local) <= 1e-4 * max(abs(chk_local), 1.0)
+    print(f"SPATIAL {pid} ok={ok} chk={chk_sp:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main()
