@@ -11,8 +11,9 @@ steady-state step timings.
 Two configurations are measured on the SAME chip:
 
 - **tpu_native** (the headline): this framework's production path — bf16
-  compute, batch 16, device-resident batches (the --device_augment
-  pipeline keeps data in HBM), sparse-label loss, batched pool scoring.
+  compute, batch 48 with ghost BN (bn_group_size=4 = the reference's bs-4
+  BN statistics), device-resident batches (the --device_augment pipeline
+  keeps data in HBM), sparse-label loss, batched pool scoring.
 - **reference_design** (the baseline): the reference's algorithmic design
   transplanted unchanged — f32, batch 4 (args.py:109), dense full-resolution
   masked CE (model.py:108-116), batch-size-1 sequential pool sweep
@@ -220,8 +221,12 @@ def main():
     # compute-bound, ~380-400 imgs/s at 360x480); bs48 amortises dispatch
     # without nearing the bs96 HBM ceiling
     # bn_group_size=4: the timed step carries the reference's bs-4 BN
-    # statistics semantics (ghost BN), so the headline config IS the
-    # accuracy-parity config, not a faster-but-different variant
+    # *statistics* semantics (ghost BN, measured free). The optimization
+    # TRAJECTORY at bs48 is NOT the reference's (12x fewer Adam steps/epoch
+    # — measured behind the bs4 schedule on the synthetic AL campaign,
+    # scripts/bs_equivalence.py; see PARITY.md). This headline is the
+    # production throughput config; the accuracy gate runs the reference
+    # bs4 schedule (scripts/parity-gate.sh).
     args, model, params, stats = _setup("bf16", hw, bn_group_size=4)
     value, train_ips, query_ips = _measure_round(
         args, model, params, stats, train_B=48, pool_B=32, hw=hw,
@@ -236,7 +241,11 @@ def main():
             "tpu_native": {"precision": "bf16", "batch": 48,
                            "bn_group_size": 4,
                            "train_imgs_per_sec": round(train_ips, 2),
-                           "query_imgs_per_sec": round(query_ips, 2)},
+                           "query_imgs_per_sec": round(query_ips, 2),
+                           "input": "device-resident batches (the "
+                                    "--device_augment production path; this "
+                                    "host's 1-core loader augments ~30 "
+                                    "imgs/s and cannot feed this rate)"},
         },
     }
 
