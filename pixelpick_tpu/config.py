@@ -173,6 +173,14 @@ def build_parser() -> ArgumentParser:
                              "the full train step (148 vs 108 ms bs48 "
                              "bf16, scripts/perf_probe.py) — kept as a "
                              "tested record of the experiment")
+    parser.add_argument("--fused_ir", action="store_true", default=False,
+                        help="run eligible stride-1 t=6 MobileNetV2 blocks "
+                             "through the fused inverted-residual Pallas "
+                             "kernel (ops/fused_ir.py): one ghost-BN group "
+                             "resident in VMEM, thin block in/out as the "
+                             "only HBM traffic, backward recomputed "
+                             "in-kernel. Single-process/single-host path; "
+                             "see PERF.md for measurements")
     parser.add_argument("--conv3x3_matmul", action="store_true", default=False,
                         help="lower same-shape stride-1 3x3 convs (decoder "
                              "head, ASPP atrous branches) to 9 tap channel "

@@ -65,6 +65,7 @@ class DeepLab(nn.Module):
     bn_groups: int = 0
     s2d_until: int = 0  # see MobileNetV2 (space-to-depth early blocks)
     remat_blocks: bool = False  # see MobileNetV2 (per-block remat)
+    fused_ir: bool = False  # see MobileNetV2 (fused inverted-residual kernel)
 
     @nn.compact
     def __call__(self, x, train: bool = False, mc_dropout_on: bool = False,
@@ -75,6 +76,7 @@ class DeepLab(nn.Module):
             mc_dropout2d_committee=self.mc_dropout2d_committee,
             dtype=self.dtype, bn_groups=self.bn_groups,
             s2d_until=self.s2d_until, remat_blocks=self.remat_blocks,
+            fused_ir=self.fused_ir,
             name="backbone",
         )(x, train, mc_dropout_on)
 

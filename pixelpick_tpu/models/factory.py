@@ -25,6 +25,7 @@ def get_model(args):
             dtype=_dtype(args),
             bn_groups=bn_groups,
             s2d_until=4 if getattr(args, "s2d_backbone", False) else 0,
+            fused_ir=getattr(args, "fused_ir", False),
         )
     if args.network_name == "FPN":
         from pixelpick_tpu.models.fpn import FPNSeg

@@ -19,6 +19,25 @@ he_normal_fan_in = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 he_normal_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def ghost_bn_train(x, scale, bias, groups: int, epsilon: float,
+                   dtype) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Train-mode (ghost) BatchNorm math shared by :class:`_BNCore` and the
+    fused inverted-residual path (models/fused_block.py). Returns
+    (y, mu, var) with mu/var of shape (n_groups, C) in f32 — the caller owns
+    the running-stat EMA update."""
+    b = x.shape[0]
+    g = groups if 0 < groups < b and b % groups == 0 else b
+    ng = b // g
+    xf = x.astype(jnp.float32).reshape(ng, g, *x.shape[1:])
+    mu = xf.mean(axis=(1, 2, 3))                        # (ng, c)
+    mu2 = (xf * xf).mean(axis=(1, 2, 3))
+    var = jnp.maximum(0.0, mu2 - mu * mu)               # fast variance
+    exp = (slice(None), None, None, None, slice(None))
+    mul = jax.lax.rsqrt(var + epsilon)[exp] * scale
+    y = (x.reshape(xf.shape) - mu[exp]) * mul + bias
+    return jnp.asarray(y.reshape(x.shape), dtype), mu, var
+
+
 class _BNCore(nn.Module):
     """BatchNorm with optional fixed-size statistic groups ("ghost BN").
 
@@ -63,22 +82,14 @@ class _BNCore(nn.Module):
             y = (x - ra_mean.value) * mul + bias
             return jnp.asarray(y, self.dtype)
 
-        b = x.shape[0]
-        g = self.groups if 0 < self.groups < b and b % self.groups == 0 else b
-        ng = b // g
-        xf = x.astype(jnp.float32).reshape(ng, g, *x.shape[1:])
-        mu = xf.mean(axis=(1, 2, 3))                        # (ng, c)
-        mu2 = (xf * xf).mean(axis=(1, 2, 3))
-        var = jnp.maximum(0.0, mu2 - mu * mu)               # fast variance
+        y, mu, var = ghost_bn_train(x, scale, bias, self.groups,
+                                    self.epsilon, self.dtype)
         if not self.is_initializing():
             ra_mean.value = self.momentum * ra_mean.value \
                 + (1 - self.momentum) * mu.mean(0)
             ra_var.value = self.momentum * ra_var.value \
                 + (1 - self.momentum) * var.mean(0)
-        exp = (slice(None), None, None, None, slice(None))
-        mul = jax.lax.rsqrt(var + self.epsilon)[exp] * scale
-        y = (x.reshape(xf.shape) - mu[exp]) * mul + bias
-        return jnp.asarray(y.reshape(x.shape), self.dtype)
+        return y
 
 
 class TorchBatchNorm(nn.Module):

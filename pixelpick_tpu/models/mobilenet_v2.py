@@ -118,6 +118,12 @@ class MobileNetV2(nn.Module):
     # trades idle MXU flops for HBM bytes. Gradients are bit-identical
     # (same ops, same order). Measured by perf_probe.py variant 'remat'.
     remat_blocks: bool = False
+    # run eligible stride-1 t=6 blocks through the fused Pallas kernel
+    # (ops/fused_ir.py): whole ghost-BN group resident in VMEM, thin block
+    # in/out as the only HBM traffic, backward recomputed in-kernel. Blocks
+    # that don't fit (high-res early blocks) fall back to identical unfused
+    # math inside FusedIRBlock — the variable tree is unchanged either way.
+    fused_ir: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, mc_dropout_on: bool = False
@@ -156,10 +162,17 @@ class MobileNetV2(nn.Module):
                 if in_s2d:
                     h = from_s2d(h)
                     in_s2d = False
-                h = Block(inp, oup, stride, dilation, t,
-                          dtype=self.dtype,
-                          bn_groups=self.bn_groups,
-                          name=f"block_{i}")(h, train)
+                if self.fused_ir and stride == 1 and t != 1:
+                    from pixelpick_tpu.models.fused_block import FusedIRBlock
+                    h = FusedIRBlock(inp, oup, stride, dilation, t,
+                                     dtype=self.dtype,
+                                     bn_groups=self.bn_groups,
+                                     name=f"block_{i}")(h, train)
+                else:
+                    h = Block(inp, oup, stride, dilation, t,
+                              dtype=self.dtype,
+                              bn_groups=self.bn_groups,
+                              name=f"block_{i}")(h, train)
             if i == 2:  # features[0:4] = stem + blocks 0..2 (:125)
                 low = from_s2d(h) if in_s2d else h
         if in_s2d:

@@ -1,0 +1,273 @@
+"""Fused inverted-residual block (Pallas TPU kernel, opt-in).
+
+The MobileNetV2 backbone is HBM-bandwidth-bound (PERF.md): each t=6 block
+expands a thin Cin tensor to a 6*Cin hidden tensor, runs a depthwise 3x3,
+and projects back — under XLA every one of those fat intermediates makes a
+round trip through HBM in the forward AND in the backward pass (plus the
+BN-train reductions). This kernel is the "whole-subgraph fusion" experiment
+PERF.md names: one grid program owns one ghost-BN statistics group (the
+``--bn_group_size`` images whose BN moments are computed together,
+reference bs-4 semantics — ``models/layers.py:_BNCore``), keeps the whole
+block resident in VMEM, and only the thin block input/output ever touch
+HBM:
+
+- forward: read x (Cin), compute pad -> expand 1x1 (MXU matmul) ->
+  BN(group stats)+relu6 -> depthwise 3x3 (9 VPU taps) -> BN+relu6 ->
+  project 1x1 -> BN -> (+x), write y (Cout) and the per-group BN moments
+  (for the running-stat EMA, done by the caller exactly as ``_BNCore``).
+- backward: read (x, dy), *recompute* the forward inside VMEM from the thin
+  x, and differentiate by calling ``jax.vjp`` on the pure-jnp block math at
+  kernel trace time — Mosaic compiles the generated backward ops like any
+  others. dx is written per group; weight/BN-parameter gradients are
+  accumulated across the (sequential) grid programs into revisited output
+  blocks. HBM traffic: x + dy in, dx + small param grads out; the 6*Cin
+  intermediates are never stored.
+
+Semantics match ``InvertedResidual`` (models/mobilenet_v2.py, reference
+``networks/mobilenet_v2.py:24-66``) with ghost BN where kernel group ==
+``bn_group_size``: per-group fast-variance f32 moments, normalise, cast to
+the compute dtype, relu6 — verified against the unfused modules in
+``tests/test_fused_ir.py`` (interpret mode on CPU, numerically on TPU).
+
+Stride-1 blocks only (any static dilation). Eligibility/VMEM gating is done
+by the caller (``models/fused_block.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # TPU-only helpers; interpret mode works without them
+    from jax.experimental.pallas import tpu as pltpu
+    _MEMSPACE = dict(memory_space=pltpu.VMEM)
+except Exception:  # pragma: no cover
+    pltpu = None
+    _MEMSPACE = {}
+
+EPS = 1e-5
+
+# Diffable args of fused_ir_block: x + 9 weights.
+_N_DIFF = 10
+
+
+def _relu6(x):
+    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+
+
+def _moments(h):
+    """Fast-variance f32 moments over (batch, H, W) — _BNCore numerics."""
+    hf = h.astype(jnp.float32)
+    mu = hf.mean(axis=(0, 1, 2))
+    mu2 = (hf * hf).mean(axis=(0, 1, 2))
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    return mu, var
+
+
+def _bn(h, mu, var, scale, bias, dtype):
+    mul = lax.rsqrt(var + EPS) * scale
+    y = (h.astype(jnp.float32) - mu) * mul + bias
+    return y.astype(dtype)
+
+
+def block_fwd_math(x, we, wd, wp, g1, b1, g2, b2, g3, b3,
+                   dilation: int, use_res: bool):
+    """Pure-jnp forward of one inverted-residual block over ONE BN group.
+
+    x: (G, H, W, Cin); we: (Cin, Ch); wd: (3, 3, Ch); wp: (Ch, Cout);
+    BN scale/bias f32. Compute dtype = we.dtype (params cast by caller).
+    Returns (y, (mu1, var1, mu2, var2, mu3, var3)) — moments in f32.
+    """
+    cdtype = we.dtype
+    d = dilation
+    prec = "highest" if cdtype == jnp.float32 else None
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0))).astype(cdtype)
+    grp, hp, wpad, cin = xp.shape
+    ch = we.shape[-1]
+    h1 = jnp.dot(xp.reshape(-1, cin), we, precision=prec,
+                 preferred_element_type=jnp.float32)
+    h1 = h1.astype(cdtype).reshape(grp, hp, wpad, ch)
+    mu1, var1 = _moments(h1)
+    a1 = _relu6(_bn(h1, mu1, var1, g1, b1, cdtype))
+    hh, ww = hp - 2 * d, wpad - 2 * d
+    acc = None
+    for ky in range(3):
+        for kx in range(3):
+            sl = lax.slice(a1, (0, ky * d, kx * d, 0),
+                           (grp, ky * d + hh, kx * d + ww, ch))
+            t = sl.astype(jnp.float32) * wd[ky, kx].astype(jnp.float32)
+            acc = t if acc is None else acc + t
+    h2 = acc.astype(cdtype)
+    mu2, var2 = _moments(h2)
+    a2 = _relu6(_bn(h2, mu2, var2, g2, b2, cdtype))
+    h3 = jnp.dot(a2.reshape(-1, ch), wp, precision=prec,
+                 preferred_element_type=jnp.float32)
+    h3 = h3.astype(cdtype).reshape(grp, hh, ww, wp.shape[-1])
+    mu3, var3 = _moments(h3)
+    out = _bn(h3, mu3, var3, g3, b3, cdtype)
+    y = x.astype(cdtype) + out if use_res else out
+    return y, (mu1, var1, mu2, var2, mu3, var3)
+
+
+def _fwd_kernel(x_ref, we_ref, wd_ref, wp_ref, g1_ref, b1_ref, g2_ref,
+                b2_ref, g3_ref, b3_ref, y_ref, *stat_refs,
+                dilation: int, use_res: bool):
+    y, stats = block_fwd_math(
+        x_ref[...], we_ref[...], wd_ref[...], wp_ref[...],
+        g1_ref[...], b1_ref[...], g2_ref[...], b2_ref[...],
+        g3_ref[...], b3_ref[...], dilation, use_res)
+    y_ref[...] = y
+    for ref, s in zip(stat_refs, stats):
+        ref[...] = s.reshape(1, -1)
+
+
+def _bwd_kernel(x_ref, dy_ref, we_ref, wd_ref, wp_ref, g1_ref, b1_ref,
+                g2_ref, b2_ref, g3_ref, b3_ref, dx_ref, *grad_refs,
+                dilation: int, use_res: bool):
+    weights = (we_ref[...], wd_ref[...], wp_ref[...], g1_ref[...],
+               b1_ref[...], g2_ref[...], b2_ref[...], g3_ref[...],
+               b3_ref[...])
+
+    def f(x, *ws):
+        return block_fwd_math(x, *ws, dilation, use_res)[0]
+
+    _, pull = jax.vjp(f, x_ref[...], *weights)
+    grads = pull(dy_ref[...])
+    dx_ref[...] = grads[0].astype(dx_ref.dtype)
+    first = pl.program_id(0) == 0
+    for ref, val in zip(grad_refs, grads[1:]):
+        _accumulate(ref, val.astype(jnp.float32), first)
+
+
+def _accumulate(ref, val, first):
+    @pl.when(first)
+    def _():
+        ref[...] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ref[...] = ref[...] + val
+
+
+def _replicated(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda g, _n=nd: (0,) * _n, **_MEMSPACE)
+
+
+def _grouped(group, h, w, c):
+    return pl.BlockSpec((group, h, w, c), lambda g: (g, 0, 0, 0), **_MEMSPACE)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def fused_ir_block(x, we, wd, wp, g1, b1, g2, b2, g3, b3,
+                   group: int, dilation: int, use_res: bool,
+                   interpret: bool = False):
+    """Fused inverted-residual block; see module docstring.
+
+    x: (B, H, W, Cin) with B % group == 0 (one grid program per BN group);
+    weights already in compute dtype. Returns (y, stats) where stats are
+    six (B // group, C) f32 per-group moment arrays (mu1, var1, ... var3)
+    for the caller's running-stat EMA. Gradients w.r.t. stats are ignored
+    (they only feed non-differentiated running statistics).
+    """
+    y, stats, _ = _fused_fwd(x, we, wd, wp, g1, b1, g2, b2, g3, b3,
+                             group, dilation, use_res, interpret)
+    return y, stats
+
+
+def _fused_fwd(x, we, wd, wp, g1, b1, g2, b2, g3, b3,
+               group, dilation, use_res, interpret):
+    b, h, w, cin = x.shape
+    ch = we.shape[-1]
+    cout = wp.shape[-1]
+    ngroups = b // group
+    weights = (we, wd, wp, g1, b1, g2, b2, g3, b3)
+    stat_cs = (ch, ch, ch, ch, cout, cout)
+    kernel = functools.partial(_fwd_kernel, dilation=dilation,
+                               use_res=use_res)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ngroups,),
+        in_specs=[_grouped(group, h, w, cin)]
+        + [_replicated(wt.shape) for wt in weights],
+        out_specs=[_grouped(group, h, w, cout)]
+        + [pl.BlockSpec((1, c), lambda g: (g, 0), **_MEMSPACE)
+           for c in stat_cs],
+        out_shape=[jax.ShapeDtypeStruct((b, h, w, cout), we.dtype)]
+        + [jax.ShapeDtypeStruct((ngroups, c), jnp.float32)
+           for c in stat_cs],
+        interpret=interpret,
+    )(x, *weights)
+    y, stats = out[0], tuple(out[1:])
+    return y, stats, (x, weights)
+
+
+def _fused_ir_fwd(x, we, wd, wp, g1, b1, g2, b2, g3, b3,
+                  group, dilation, use_res, interpret):
+    y, stats, res = _fused_fwd(x, we, wd, wp, g1, b1, g2, b2, g3, b3,
+                               group, dilation, use_res, interpret)
+    return (y, stats), res
+
+
+def _fused_ir_bwd(group, dilation, use_res, interpret, res, cot):
+    x, weights = res
+    dy = cot[0]  # stats cotangents (cot[1]) feed only running stats: zero
+    b, h, w, cin = x.shape
+    cout = weights[2].shape[-1]
+    ngroups = b // group
+    kernel = functools.partial(_bwd_kernel, dilation=dilation,
+                               use_res=use_res)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ngroups,),
+        in_specs=[_grouped(group, h, w, cin),
+                  _grouped(group, h, w, cout)]
+        + [_replicated(wt.shape) for wt in weights],
+        out_specs=[_grouped(group, h, w, cin)]
+        + [_replicated(wt.shape) for wt in weights],
+        out_shape=[jax.ShapeDtypeStruct((b, h, w, cin), x.dtype)]
+        + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in weights],
+        interpret=interpret,
+    )(x, dy, *weights)
+    dx = out[0]
+    dws = tuple(g.astype(wt.dtype) for g, wt in zip(out[1:], weights))
+    return (dx,) + dws
+
+
+fused_ir_block.defvjp(_fused_ir_fwd, _fused_ir_bwd)
+
+
+def vmem_estimate_bytes(group: int, h: int, w: int, cin: int, ch: int,
+                        cout: int, dilation: int, itemsize: int) -> int:
+    """Rough peak-VMEM estimate for the backward kernel (the bigger one).
+
+    Counts Mosaic lane padding (last dim to 128) and sublane padding
+    (second-to-last to 8). The backward holds roughly: padded input, three
+    copies of the expand-hidden tensor (pre-BN residual, relu6 mask
+    operand, dw input), two of the dw output, plus thin in/out tensors.
+    Calibrated against measured Mosaic compiles (tests keep it safe-side).
+    """
+    def pad128(c):
+        return -(-c // 128) * 128
+
+    def pad8(v):
+        return -(-v // 8) * 8
+
+    d = dilation
+    hp, wp = h + 2 * d, pad8(w + 2 * d)
+    w8 = pad8(w)
+    fat = group * hp * wp * pad128(ch) * itemsize
+    fat_out = group * h * w8 * pad128(ch) * itemsize
+    thin = group * h * w8 * (pad128(cin) + pad128(cout)) * itemsize
+    return 3 * fat + 2 * fat_out + 3 * thin
+
+
+_REFERENCE = """Reference parity note: the block semantics mirror
+/root/reference/networks/mobilenet_v2.py:24-66 (InvertedResidual: expand
+1x1 + BN + ReLU6, depthwise 3x3 + BN + ReLU6, project 1x1 + BN, residual
+when stride==1 and inp==oup, fixed_padding applied to the block input)."""

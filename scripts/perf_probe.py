@@ -28,7 +28,7 @@ from bench import _timeit_chained, _setup, _train_batch, _pool_batch, K  # noqa:
 
 
 def time_train(precision, bn_groups, train_B, hw, conv3x3="xla", dw="xla",
-               s2d=False, remat=False):
+               s2d=False, remat=False, fused_ir=False):
     import jax
 
     import pixelpick_tpu.models.layers as layers
@@ -43,6 +43,8 @@ def time_train(precision, bn_groups, train_B, hw, conv3x3="xla", dw="xla",
             model = model.clone(s2d_until=4)
         if remat:
             model = model.clone(remat_blocks=True)
+        if fused_ir:
+            model = model.clone(fused_ir=True)
         import jax.numpy as jnp
 
         tx = make_optimizer(args, params, iters_per_epoch=100)
@@ -102,6 +104,7 @@ VARIANTS = {
                                     conv3x3="matmul"),
     "wmm": lambda hw: time_train("bf16", 4, 48, hw, conv3x3="wgradmm"),
     "remat": lambda hw: time_train("bf16", 4, 48, hw, remat=True),
+    "fused": lambda hw: time_train("bf16", 4, 48, hw, fused_ir=True),
     "f32": lambda hw: time_train("f32", 0, 4, hw),
     "score": lambda hw: time_score("bf16", 32, hw),
     "score_mm": lambda hw: time_score("bf16", 32, hw, conv3x3="matmul"),

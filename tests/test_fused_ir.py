@@ -1,0 +1,125 @@
+"""Fused inverted-residual kernel (ops/fused_ir.py, models/fused_block.py)
+vs the unfused InvertedResidual modules — interpret mode on CPU.
+
+Forward, batch-stat updates and parameter gradients must agree. The grad
+comparison is scaled by the global gradient magnitude: near-zero BN-scale
+gradients suffer relu6-boundary mask flips under f32 rounding (an element
+sitting at 0/6 crosses the threshold between op orderings), which is noise,
+not error.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pixelpick_tpu.models.fused_block import FusedIRBlock
+from pixelpick_tpu.models.mobilenet_v2 import InvertedResidual, MobileNetV2
+
+B, H, W = 8, 9, 10
+GROUPS = 4
+
+
+def _pair(ci, co, dilation, t, dtype, groups=GROUPS):
+    ref = InvertedResidual(ci, co, 1, dilation, t, dtype=dtype,
+                           bn_groups=groups)
+    fused = FusedIRBlock(ci, co, 1, dilation, t, dtype=dtype,
+                         bn_groups=groups)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, ci), jnp.float32)
+    v = ref.init(jax.random.PRNGKey(0), x.astype(dtype), train=False)
+    return ref, fused, x.astype(dtype), v
+
+
+def test_variable_tree_identical():
+    ref, fused, x, v = _pair(16, 16, 1, 6, jnp.float32)
+    v2 = fused.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+        assert jnp.allclose(a, b), "init values must match"
+
+
+@pytest.mark.parametrize("dtype,ftol", [(jnp.float32, 3e-5),
+                                        (jnp.bfloat16, 4e-2)])
+@pytest.mark.parametrize("ci,co,dilation", [(16, 16, 1), (16, 24, 1),
+                                            (16, 16, 2)])
+def test_forward_and_stats_match(dtype, ftol, ci, co, dilation):
+    ref, fused, x, v = _pair(ci, co, dilation, 6, dtype)
+    yr, mr = ref.apply(v, x, train=True, mutable=["batch_stats"])
+    yf, mf = fused.apply(v, x, train=True, mutable=["batch_stats"])
+    assert float(jnp.abs(yr.astype(jnp.float32)
+                         - yf.astype(jnp.float32)).max()) < ftol
+    for a, b in zip(jax.tree.leaves(mr), jax.tree.leaves(mf)):
+        assert float(jnp.abs(a - b).max()) < ftol
+
+
+def test_eval_exact():
+    ref, fused, x, v = _pair(16, 16, 1, 6, jnp.float32)
+    yr = ref.apply(v, x, train=False)
+    yf = fused.apply(v, x, train=False)
+    assert float(jnp.abs(yr - yf).max()) == 0.0
+
+
+@pytest.mark.parametrize("dtype,gtol", [(jnp.float32, 1e-4),
+                                        (jnp.bfloat16, 4e-2)])
+def test_grads_match(dtype, gtol):
+    ref, fused, x, v = _pair(16, 16, 1, 6, dtype)
+
+    def loss(mod):
+        def f(params):
+            out, _ = mod.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return (out.astype(jnp.float32) ** 2).sum()
+        return f
+
+    gr = jax.grad(loss(ref))(v["params"])
+    gf = jax.grad(loss(fused))(v["params"])
+    gmax = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(gr))
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gf)):
+        assert float(jnp.abs(a.astype(jnp.float32)
+                             - b.astype(jnp.float32)).max()) < gtol * gmax
+
+
+def test_remainder_batch_whole_batch_group():
+    """B % bn_groups != 0 falls back to whole-batch moments (the _BNCore
+    rule); the kernel runs with group == B and must match closely."""
+    ref, fused, x, v = _pair(16, 16, 1, 6, jnp.float32, groups=5)
+    yr, mr = ref.apply(v, x, train=True, mutable=["batch_stats"])
+    yf, mf = fused.apply(v, x, train=True, mutable=["batch_stats"])
+    assert float(jnp.abs(yr - yf).max()) < 3e-5
+    for a, b in zip(jax.tree.leaves(mr), jax.tree.leaves(mf)):
+        assert float(jnp.abs(a - b).max()) < 3e-5
+
+
+@pytest.mark.parametrize("stride,t", [(2, 6), (1, 1)])
+def test_unfused_inline_path_exact(stride, t):
+    """Blocks the kernel never takes (stride 2, t=1) run FusedIRBlock's
+    inline math, which must be bit-identical to InvertedResidual."""
+    ref = InvertedResidual(16, 24, stride, 1, t, dtype=jnp.float32,
+                           bn_groups=GROUPS)
+    fused = FusedIRBlock(16, 24, stride, 1, t, dtype=jnp.float32,
+                         bn_groups=GROUPS)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 16), jnp.float32)
+    v = ref.init(jax.random.PRNGKey(0), x, train=False)
+    yr, mr = ref.apply(v, x, train=True, mutable=["batch_stats"])
+    yf, mf = fused.apply(v, x, train=True, mutable=["batch_stats"])
+    assert float(jnp.abs(yr - yf).max()) == 0.0
+    for a, b in zip(jax.tree.leaves(mr), jax.tree.leaves(mf)):
+        assert float(jnp.abs(a - b).max()) == 0.0
+
+
+def test_mobilenet_fused_flag_matches():
+    """MobileNetV2(fused_ir=True) has the identical variable tree and the
+    same train-mode output within bf16-ish tolerance (f32 here)."""
+    kw = dict(output_stride=16, dtype=jnp.float32, bn_groups=4)
+    base = MobileNetV2(**kw)
+    fused = MobileNetV2(fused_ir=True, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 48, 64, 3), jnp.float32)
+    v = base.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = fused.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    (hr, lr), mr = base.apply(v, x, train=True, mutable=["batch_stats"])
+    (hf, lf), mf = fused.apply(v, x, train=True, mutable=["batch_stats"])
+    assert float(jnp.abs(hr - hf).max()) < 2e-3
+    assert float(jnp.abs(lr - lf).max()) < 2e-3
+    for a, b in zip(jax.tree.leaves(mr), jax.tree.leaves(mf)):
+        assert float(jnp.abs(a - b).max()) < 1e-3
