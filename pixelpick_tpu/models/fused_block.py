@@ -11,9 +11,14 @@ compute through ``ops/fused_ir.py`` when eligible:
 - training, stride 1, expand_ratio != 1 (t=6 blocks),
 - on a TPU backend (interpret mode elsewhere, used by the CPU tests),
 - ghost-BN group = the effective ``_BNCore`` group for this batch, and
-- the per-group working set fits the VMEM budget (the fat 23x30/45x60
-  blocks qualify; the 180x240 blocks fall back until a tiled variant
-  exists — see PERF.md).
+- the per-group working set fits the VMEM budget (measured: only the
+  23x30 64-ch-class blocks compile — Mosaic's backward liveness runs
+  5-6x the logical estimate; larger blocks fall back — see PERF.md
+  "Whole-subgraph fusion: measured").
+
+Measured in the full train step the fused path is NET-NEGATIVE
+(113.5 vs 108.1 ms baseline, PERF.md) — it ships as a tested opt-in
+experiment, not a default.
 
 Everything else (eval mode, remainder batches, oversized blocks, t=1)
 takes an inline unfused path that reproduces ``InvertedResidual``'s math
@@ -35,10 +40,19 @@ from pixelpick_tpu.models.layers import (
 )
 from pixelpick_tpu.ops.fused_ir import fused_ir_block, vmem_estimate_bytes
 
-# Per-program VMEM budget for the backward kernel's working set. Mosaic's
-# scoped-vmem on v5e is ~16 MB less pipeline buffers; the estimate in
-# vmem_estimate_bytes is deliberately coarse, so keep head-room.
-FUSED_VMEM_BUDGET = 12 * 1024 * 1024
+# Per-program VMEM budget (on the vmem_estimate_bytes scale) gating which
+# blocks take the fused kernel. Calibrated against measured Mosaic
+# compiles on v5e: the kernel raises Mosaic's scoped-vmem limit to 100 MB
+# of the 128 MB physical VMEM (ops/fused_ir.py:_VMEM_LIMIT — the default
+# limit is ~16 MB and rejects every real shape), and Mosaic's actual
+# backward-kernel liveness measures 5-6x the logical estimate (96ch:
+# 23.2 MB estimated -> 121.6 MB actual, scoped-vmem OOM; 64ch: 15.7 MB
+# estimated, compiles). 16 MB on the estimate scale therefore admits
+# exactly the block class proven to compile. Env-overridable for probing.
+import os as _os
+
+FUSED_VMEM_BUDGET = int(_os.environ.get("PIXELPICK_FUSED_VMEM_BUDGET",
+                                        16 * 1024 * 1024))
 
 
 class _ConvKernel(nn.Module):

@@ -31,6 +31,14 @@ the compute dtype, relu6 — verified against the unfused modules in
 
 Stride-1 blocks only (any static dilation). Eligibility/VMEM gating is done
 by the caller (``models/fused_block.py``).
+
+MEASURED VERDICT (round 4, PERF.md "Whole-subgraph fusion: measured"):
+net-negative in the full train step (113.5 vs 108.1 ms with the four
+eligible blocks fused) — the kernel trades HBM-bound XLA subgraphs for a
+VPU-bound serialised kernel, and Mosaic's backward liveness (5-6x the
+logical working set, no remat2 lowering) confines fusion to the blocks
+that carry little traffic. Kept as a tested opt-in experiment
+(``--fused_ir``).
 """
 
 from __future__ import annotations
@@ -50,6 +58,21 @@ except Exception:  # pragma: no cover
     pltpu = None
     _MEMSPACE = {}
 
+# Mosaic's *default* scoped-VMEM limit on v5e is far below the chip's
+# 128 MB physical VMEM (measured: a 16 MB scratch fails to compile at the
+# default). The fused block keeps a whole BN group's working set resident,
+# so raise the per-kernel limit explicitly; the caller's
+# FUSED_VMEM_BUDGET (models/fused_block.py) gates eligibility well under
+# this so Mosaic retains room for pipeline buffers and liveness slack.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    if pltpu is None:  # pragma: no cover
+        return {}
+    return dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT))
+
 EPS = 1e-5
 
 # Diffable args of fused_ir_block: x + 9 weights.
@@ -57,7 +80,28 @@ _N_DIFF = 10
 
 
 def _relu6(x):
-    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+    # Clamp in f32: the VJP of min/max emits vector comparisons, and
+    # Mosaic's v5e backend rejects them on bf16 operands ("Target does
+    # not support this comparison") inside the backward kernel. The cast
+    # round-trip is exact for values in [0, 6].
+    xf = x.astype(jnp.float32)
+    return jnp.minimum(jnp.maximum(xf, 0.0), 6.0).astype(x.dtype)
+
+
+def _zero_pad_hw(x, d: int):
+    """Zero-pad H and W by ``d`` on each side, via concatenate.
+
+    Equivalent to ``jnp.pad(x, ((0,0),(d,d),(d,d),(0,0)))`` but Mosaic can
+    lower both it AND its transpose: the VJP of concatenate is a slice,
+    whereas the VJP of ``lax.pad`` is a negative-edge pad that Mosaic
+    rejects ("vector types must have positive constant sizes") inside the
+    recomputing backward kernel.
+    """
+    g, h, w, c = x.shape
+    zh = jnp.zeros((g, d, w, c), x.dtype)
+    x = jnp.concatenate([zh, x, zh], axis=1)
+    zw = jnp.zeros((g, h + 2 * d, d, c), x.dtype)
+    return jnp.concatenate([zw, x, zw], axis=2)
 
 
 def _moments(h):
@@ -75,25 +119,25 @@ def _bn(h, mu, var, scale, bias, dtype):
     return y.astype(dtype)
 
 
-def block_fwd_math(x, we, wd, wp, g1, b1, g2, b2, g3, b3,
-                   dilation: int, use_res: bool):
-    """Pure-jnp forward of one inverted-residual block over ONE BN group.
-
-    x: (G, H, W, Cin); we: (Cin, Ch); wd: (3, 3, Ch); wp: (Ch, Cout);
-    BN scale/bias f32. Compute dtype = we.dtype (params cast by caller).
-    Returns (y, (mu1, var1, mu2, var2, mu3, var3)) — moments in f32.
-    """
+def _stage1(x, we, g1, b1, dilation: int):
+    """pad -> expand 1x1 -> BN(group) -> relu6."""
     cdtype = we.dtype
-    d = dilation
     prec = "highest" if cdtype == jnp.float32 else None
-    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0))).astype(cdtype)
+    xp = _zero_pad_hw(x.astype(cdtype), dilation)
     grp, hp, wpad, cin = xp.shape
     ch = we.shape[-1]
     h1 = jnp.dot(xp.reshape(-1, cin), we, precision=prec,
                  preferred_element_type=jnp.float32)
     h1 = h1.astype(cdtype).reshape(grp, hp, wpad, ch)
     mu1, var1 = _moments(h1)
-    a1 = _relu6(_bn(h1, mu1, var1, g1, b1, cdtype))
+    return _relu6(_bn(h1, mu1, var1, g1, b1, cdtype)), mu1, var1
+
+
+def _stage2(a1, wd, g2, b2, dilation: int):
+    """depthwise 3x3 (9 VPU taps) -> BN(group) -> relu6."""
+    cdtype = a1.dtype
+    d = dilation
+    grp, hp, wpad, ch = a1.shape
     hh, ww = hp - 2 * d, wpad - 2 * d
     acc = None
     for ky in range(3):
@@ -104,14 +148,77 @@ def block_fwd_math(x, we, wd, wp, g1, b1, g2, b2, g3, b3,
             acc = t if acc is None else acc + t
     h2 = acc.astype(cdtype)
     mu2, var2 = _moments(h2)
-    a2 = _relu6(_bn(h2, mu2, var2, g2, b2, cdtype))
+    return _relu6(_bn(h2, mu2, var2, g2, b2, cdtype)), mu2, var2
+
+
+def _stage3(a2, wp, g3, b3, x, use_res: bool):
+    """project 1x1 -> BN(group) -> (+x)."""
+    cdtype = a2.dtype
+    prec = "highest" if cdtype == jnp.float32 else None
+    grp, hh, ww, ch = a2.shape
     h3 = jnp.dot(a2.reshape(-1, ch), wp, precision=prec,
                  preferred_element_type=jnp.float32)
     h3 = h3.astype(cdtype).reshape(grp, hh, ww, wp.shape[-1])
     mu3, var3 = _moments(h3)
     out = _bn(h3, mu3, var3, g3, b3, cdtype)
     y = x.astype(cdtype) + out if use_res else out
+    return y, mu3, var3
+
+
+def block_fwd_math(x, we, wd, wp, g1, b1, g2, b2, g3, b3,
+                   dilation: int, use_res: bool):
+    """Pure-jnp forward of one inverted-residual block over ONE BN group.
+
+    x: (G, H, W, Cin); we: (Cin, Ch); wd: (3, 3, Ch); wp: (Ch, Cout);
+    BN scale/bias f32. Compute dtype = we.dtype (params cast by caller).
+    Returns (y, (mu1, var1, mu2, var2, mu3, var3)) — moments in f32.
+
+    (The backward kernel does NOT differentiate through this function in
+    one piece — see ``_staged_vjp``: Mosaic cannot lower ``remat2`` and a
+    monolithic ``jax.vjp`` holds every stage's intermediates live at once,
+    measured at ~5-6x the working-set estimate — scoped-VMEM OOM on the
+    96ch+ blocks.)
+    """
+    a1, mu1, var1 = _stage1(x, we, g1, b1, dilation)
+    a2, mu2, var2 = _stage2(a1, wd, g2, b2, dilation)
+    y, mu3, var3 = _stage3(a2, wp, g3, b3, x, use_res)
     return y, (mu1, var1, mu2, var2, mu3, var3)
+
+
+def _staged_vjp(x, dy, weights, dilation: int, use_res: bool):
+    """Backward of one BN group, stage-by-stage to bound VMEM liveness.
+
+    Equivalent to ``jax.vjp(block_fwd_math)(dy)`` but each stage's
+    forward intermediates are recomputed inside that stage's own
+    ``jax.vjp`` call, so at any point only ONE stage's working set plus
+    the thin chain boundaries (x, a1, a2, dy) are live — a hand-rolled
+    rematerialisation (Pallas TPU has no remat2 lowering).
+
+    Returns (dx, dwe, dwd, dwp, dg1, db1, dg2, db2, dg3, db3).
+    """
+    we, wd, wp, g1, b1, g2, b2, g3, b3 = weights
+    a1, _, _ = _stage1(x, we, g1, b1, dilation)
+    a2, _, _ = _stage2(a1, wd, g2, b2, dilation)
+
+    def f3(a2_, wp_, g3_, b3_, x_):
+        return _stage3(a2_, wp_, g3_, b3_, x_, use_res)[0]
+
+    _, p3 = jax.vjp(f3, a2, wp, g3, b3, x)
+    da2, dwp, dg3, db3, dx_res = p3(dy)
+
+    def f2(a1_, wd_, g2_, b2_):
+        return _stage2(a1_, wd_, g2_, b2_, dilation)[0]
+
+    _, p2 = jax.vjp(f2, a1, wd, g2, b2)
+    da1, dwd, dg2, db2 = p2(da2)
+
+    def f1(x_, we_, g1_, b1_):
+        return _stage1(x_, we_, g1_, b1_, dilation)[0]
+
+    _, p1 = jax.vjp(f1, x, we, g1, b1)
+    dx, dwe, dg1, db1 = p1(da1)
+    dx = dx + dx_res.astype(dx.dtype)
+    return dx, dwe, dwd, dwp, dg1, db1, dg2, db2, dg3, db3
 
 
 def _fwd_kernel(x_ref, we_ref, wd_ref, wp_ref, g1_ref, b1_ref, g2_ref,
@@ -122,8 +229,16 @@ def _fwd_kernel(x_ref, we_ref, wd_ref, wp_ref, g1_ref, b1_ref, g2_ref,
         g1_ref[...], b1_ref[...], g2_ref[...], b2_ref[...],
         g3_ref[...], b3_ref[...], dilation, use_res)
     y_ref[...] = y
+    # Mosaic requires output blocks whose trailing dims are (8,128)-tiled
+    # or full — a (1, C) per-group row block is neither, so each stats
+    # output is a full (ngroups, C) revisited block and program g
+    # contributes its row via a one-hot accumulate (cf. _accumulate).
+    g = pl.program_id(0)
+    first = g == 0
     for ref, s in zip(stat_refs, stats):
-        ref[...] = s.reshape(1, -1)
+        ngroups = ref.shape[0]
+        row = lax.broadcasted_iota(jnp.int32, (ngroups, 1), 0) == g
+        _accumulate(ref, jnp.where(row, s.reshape(1, -1), 0.0), first)
 
 
 def _bwd_kernel(x_ref, dy_ref, we_ref, wd_ref, wp_ref, g1_ref, b1_ref,
@@ -132,12 +247,8 @@ def _bwd_kernel(x_ref, dy_ref, we_ref, wd_ref, wp_ref, g1_ref, b1_ref,
     weights = (we_ref[...], wd_ref[...], wp_ref[...], g1_ref[...],
                b1_ref[...], g2_ref[...], b2_ref[...], g3_ref[...],
                b3_ref[...])
-
-    def f(x, *ws):
-        return block_fwd_math(x, *ws, dilation, use_res)[0]
-
-    _, pull = jax.vjp(f, x_ref[...], *weights)
-    grads = pull(dy_ref[...])
+    grads = _staged_vjp(x_ref[...], dy_ref[...], weights, dilation,
+                        use_res)
     dx_ref[...] = grads[0].astype(dx_ref.dtype)
     first = pl.program_id(0) == 0
     for ref, val in zip(grad_refs, grads[1:]):
@@ -196,12 +307,12 @@ def _fused_fwd(x, we, wd, wp, g1, b1, g2, b2, g3, b3,
         in_specs=[_grouped(group, h, w, cin)]
         + [_replicated(wt.shape) for wt in weights],
         out_specs=[_grouped(group, h, w, cout)]
-        + [pl.BlockSpec((1, c), lambda g: (g, 0), **_MEMSPACE)
-           for c in stat_cs],
+        + [_replicated((ngroups, c)) for c in stat_cs],
         out_shape=[jax.ShapeDtypeStruct((b, h, w, cout), we.dtype)]
         + [jax.ShapeDtypeStruct((ngroups, c), jnp.float32)
            for c in stat_cs],
         interpret=interpret,
+        **({} if interpret else _compiler_params()),
     )(x, *weights)
     y, stats = out[0], tuple(out[1:])
     return y, stats, (x, weights)
@@ -233,6 +344,7 @@ def _fused_ir_bwd(group, dilation, use_res, interpret, res, cot):
         out_shape=[jax.ShapeDtypeStruct((b, h, w, cin), x.dtype)]
         + [jax.ShapeDtypeStruct(wt.shape, jnp.float32) for wt in weights],
         interpret=interpret,
+        **({} if interpret else _compiler_params()),
     )(x, dy, *weights)
     dx = out[0]
     dws = tuple(g.astype(wt.dtype) for g, wt in zip(out[1:], weights))

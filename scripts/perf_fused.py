@@ -18,6 +18,13 @@ and reports two rooflines at 819 GB/s HBM:
   fwd and bwd (the PERF.md analytic model that XLA was measured at 34-48%
   of).
 
+CAVEAT (measured, round 4): at sub-ms kernel sizes these isolated
+single-block probes are dominated by per-step dispatch through the
+tunnelled backend — they showed the fused kernel 2.17x faster than XLA
+at b7 while the FULL-STEP measurement (scripts/perf_probe.py --variants
+base,fused) shows fusion is net-negative (113.5 vs 108.1 ms). Use the
+full-step number; this probe remains for kernel-relative iteration only.
+
 Usage: python scripts/perf_fused.py [--blocks b7,b11,b14,b4]
 """
 
