@@ -19,6 +19,7 @@ import time
 from typing import Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pixelpick_tpu.active.selector import QuerySelector
@@ -35,7 +36,7 @@ from pixelpick_tpu.parallel.mesh import shard_batch, get_mesh
 from pixelpick_tpu.utils.logging import write_log
 from pixelpick_tpu.utils.metrics import AverageMeter, RunningScore
 from pixelpick_tpu.utils.profiling import PhaseTimer, trace
-from pixelpick_tpu.utils.visualiser import Visualiser
+from pixelpick_tpu.utils.visualiser import Visualiser, render_vis_panels
 
 
 class ALModel:
@@ -223,11 +224,14 @@ class ALModel:
             last_batch = batch
             if self.debug:
                 break
-        # drain the per-step device loss scalars once, at epoch end: the
-        # logged loss is the epoch MEAN, matching the reference's per-iter
-        # running_loss.avg (model.py:126,147) without mid-epoch host syncs
-        for loss in losses:
-            self.running_loss.update(float(loss))
+        # drain the per-step device loss scalars once, at epoch end, as ONE
+        # stacked fetch (a float() per step would be a host round-trip per
+        # step on the tunnelled backend): the logged loss is the epoch
+        # MEAN, matching the reference's per-iter running_loss.avg
+        # (model.py:126,147) without mid-epoch host syncs
+        if losses:
+            for loss in np.asarray(jnp.stack(losses)):
+                self.running_loss.update(float(loss))
         scores = score.get_scores()[0]
         miou, pixel_acc = scores["Mean IoU"], scores["Pixel Acc"]
         dt = time.time() - t0
@@ -302,15 +306,32 @@ class ALModel:
             batch, vis = last
             # the PNG comes straight from the eval step's outputs — zero
             # extra forward passes for the per-epoch val visualisation
-            x0, target = self._image0(batch)
-            self._write_vis(x0, target, vis, f"{dir_stage}/{epoch}_val.png")
+            try:
+                x0, target = self._image0(batch)
+            except Exception as e:  # never kill a round over a PNG;
+                print(f"visualisation failed: {e}")  # process-uniform
+            else:
+                self._write_vis(x0, target, vis,
+                                f"{dir_stage}/{epoch}_val.png")
 
     def _image0(self, batch):
         """(uint8 image 0, target 0 or None) of a batch. Slices to image 0
-        BEFORE fetching: under multi-host the full batch arrays span
-        non-addressable devices and np.asarray on them raises; the [:1]
-        slice is materialised addressably."""
-        x = np.asarray(batch["x"][:1])
+        BEFORE fetching. Under multi-host the [:1] slice of a data-sharded
+        global array may be addressable on ONE process only — np.asarray
+        would then raise on the others but succeed there, a process-
+        DIVERGENT failure that could leave the succeeding process alone in
+        the lockstep eval dispatch that follows (`_visualise`). All
+        processes therefore fetch through process_allgather, which is
+        collective: they all get the value, or all raise together."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            def fetch(a):
+                return np.asarray(
+                    multihost_utils.process_allgather(a, tiled=True))
+        else:
+            fetch = np.asarray
+        x = fetch(batch["x"][:1])
         if np.issubdtype(x.dtype, np.floating):
             # device-pipeline batches are already normalised; undo for
             # display and for the uint8 eval feed
@@ -318,7 +339,7 @@ class ALModel:
                          + np.asarray(self.args.mean)) * 255.0,
                         0, 255).astype(np.uint8)
         y = batch.get("y")
-        target = np.asarray(y[:1])[0] if y is not None else None
+        target = fetch(y[:1])[0] if y is not None else None
         return x[0], target
 
     def _visualise(self, eval_fn, state: TrainState, batch, fp: str) -> None:
@@ -341,17 +362,8 @@ class ALModel:
     def _write_vis(self, x0, target, vis, fp: str) -> None:
         """Render the 6 panels from an eval step's ``vis`` maps."""
         try:
-            pred = np.asarray(vis["pred"])
-            h, w = pred.shape  # VOC eval: maps are cropped to the true size
-            lc = np.asarray(vis["least_confidence"])
-            ms = np.asarray(vis["margin_sampling"])
-            ent = np.asarray(vis["entropy"])
             if is_primary():  # multi-host: every process computes, one writes
-                self.vis({"input": np.asarray(x0)[:h, :w],
-                          "target": None if target is None
-                          else np.asarray(target)[:h, :w],
-                          "pred": pred, "confidence": lc, "margin": -ms,
-                          "entropy": ent}, fp=fp)
+                render_vis_panels(self.vis, x0, target, vis, fp)
         except Exception as e:  # visualisation must never kill a round
             print(f"visualisation failed: {e}")
 

@@ -32,21 +32,15 @@ from pixelpick_tpu.active.driver import _pad_to_stride
 
 def _write_vis(dataset_name, batch, vis, fp):
     """6-panel PNG of image 0 from the eval step's vis maps
-    (reference eval.py:69-84 re-forwards instead)."""
-    from pixelpick_tpu.utils.visualiser import Visualiser
+    (reference eval.py:69-84 re-forwards instead). Panel assembly is
+    shared with the driver's per-epoch PNGs (utils/visualiser.py)."""
+    from pixelpick_tpu.utils.visualiser import Visualiser, render_vis_panels
 
     try:
-        pred = np.asarray(vis["pred"])
-        h, w = pred.shape  # VOC: maps are cropped to the true image size
-        x0 = np.asarray(batch["x"][:1])[0]
+        x0 = np.asarray(batch["x"][:1])[0]  # host batch: addressable
         y = batch.get("y")
-        Visualiser(dataset_name)(
-            {"input": x0[:h, :w],
-             "target": None if y is None else np.asarray(y[:1])[0][:h, :w],
-             "pred": pred,
-             "confidence": np.asarray(vis["least_confidence"]),
-             "margin": -np.asarray(vis["margin_sampling"]),
-             "entropy": np.asarray(vis["entropy"])}, fp=fp)
+        target = np.asarray(y[:1])[0] if y is not None else None
+        render_vis_panels(Visualiser(dataset_name), x0, target, vis, fp)
     except Exception as e:  # visualisation must never kill an eval
         print(f"visualisation failed: {e}")
 
@@ -60,11 +54,14 @@ def evaluate(args, params, batch_stats, loader=None, debug: bool = False,
         bucket = args.stride_total \
             if getattr(dataset_val, "variable_size", False) else None
         val_bs = getattr(args, "val_batch_size", 1)
-        if mesh is not None and bucket is None:
+        if mesh is not None:
             # TPU-first default: round the batch up to a device-count
             # multiple so the standalone eval runs data-parallel across the
             # mesh (identical metrics — the confusion matrix is additive
-            # over images; the remainder batch is replicated)
+            # over images). Applies to the bucketed (VOC) loader too: its
+            # mid-bucket batches are full-size and shard evenly; only
+            # per-bucket remainder batches fall back to replication (as
+            # the fixed-size remainder does).
             val_bs = -(-val_bs // mesh.devices.size) * mesh.devices.size
         loader = Loader(dataset_val, val_bs,
                         mode="val", n_workers=args.n_workers,

@@ -75,9 +75,6 @@ def _compiler_params():
 
 EPS = 1e-5
 
-# Diffable args of fused_ir_block: x + 9 weights.
-_N_DIFF = 10
-
 
 def _relu6(x):
     # Clamp in f32: the VJP of min/max emits vector comparisons, and

@@ -48,3 +48,23 @@ class Visualiser:
         if fp:
             grid.save(fp)
         return grid
+
+
+def render_vis_panels(visualiser: "Visualiser", x0, target, vis,
+                      fp: str) -> None:
+    """Assemble the 6-panel dict from an eval step's ``vis`` maps and
+    render it — the ONE place the panel contract lives (crop every panel
+    to the prediction's true size for VOC's padded eval batches; margin is
+    negated so brighter = more uncertain, reference utils.py:405-418).
+    Shared by the driver's per-epoch PNGs (active/driver.py:_write_vis)
+    and the standalone eval CLI (cli/eval.py:_write_vis)."""
+    pred = np.asarray(vis["pred"])
+    h, w = pred.shape  # VOC eval: maps are cropped to the true size
+    visualiser({
+        "input": np.asarray(x0)[:h, :w],
+        "target": None if target is None else np.asarray(target)[:h, :w],
+        "pred": pred,
+        "confidence": np.asarray(vis["least_confidence"]),
+        "margin": -np.asarray(vis["margin_sampling"]),
+        "entropy": np.asarray(vis["entropy"]),
+    }, fp=fp)

@@ -19,7 +19,8 @@
 # reference's bs-4 BN statistics at 12x fewer Adam steps/epoch) is the
 # post-gate FAST config; its trajectory equivalence on the synthetic AL
 # campaign is measured by scripts/bs_equivalence.py (results in PARITY.md).
-# Run it with GATE_ARGS="$FAST_ARGS". Budget: 20 px = 2 rounds of 10 px.
+# Run it with FAST=1 (an explicit GATE_ARGS beats FAST). Budget: 20 px =
+# 2 rounds of 10 px.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -29,7 +30,11 @@ TARGET="${TARGET:-50.8}"
 TOL="${TOL:-0.2}"
 CKPT_DIR="${CKPT_DIR:-./checkpoints}"
 FAST_ARGS="--precision bf16 --batch_size 48 --bn_group_size 4 --device_augment"
-GATE_ARGS="${GATE_ARGS:---batch_size 4}"
+if [ -n "${FAST:-}" ]; then
+  GATE_ARGS="${GATE_ARGS:-$FAST_ARGS}"
+else
+  GATE_ARGS="${GATE_ARGS:---batch_size 4}"
+fi
 
 if [ ! -d "$CAMVID/train" ] || [ ! -d "$CAMVID/trainannot" ]; then
   echo "parity-gate: CamVid not found at $CAMVID (need train/ trainannot/" \

@@ -123,3 +123,26 @@ def test_mobilenet_fused_flag_matches():
     assert float(jnp.abs(lr - lf).max()) < 2e-3
     for a, b in zip(jax.tree.leaves(mr), jax.tree.leaves(mf)):
         assert float(jnp.abs(a - b).max()) < 1e-3
+
+
+def test_vmem_gate_tracks_measured_compile_envelope():
+    """The default budget must admit exactly the block class measured to
+    compile on v5e and reject the classes measured to OOM scoped VMEM
+    (PERF.md "Whole-subgraph fusion: measured"): Mosaic's backward
+    liveness runs 5-6x the logical estimate, so 64-ch-class estimates
+    (~15.7 MB) compile under the 100 MB limit while 96-ch-class
+    (23.2 MB -> 121.6 MB actual) and larger OOM."""
+    from pixelpick_tpu.models.fused_block import FUSED_VMEM_BUDGET
+    from pixelpick_tpu.ops.fused_ir import vmem_estimate_bytes
+
+    measured = [  # (h, w, cin, t, cout, dilation, compiles_on_v5e)
+        (23, 30, 64, 6, 64, 1, True),     # b7 class: ran fwd+bwd on chip
+        (23, 30, 64, 6, 96, 1, True),     # 64->96 transition: same est
+        (23, 30, 96, 6, 96, 1, False),    # measured 121.6 MB scoped OOM
+        (23, 30, 160, 6, 160, 2, False),
+        (45, 60, 32, 6, 32, 1, False),
+        (90, 120, 24, 6, 24, 1, False),
+    ]
+    for h, w, ci, t, co, d, ok in measured:
+        est = vmem_estimate_bytes(4, h, w, ci, ci * t, co, d, 2)
+        assert (est <= FUSED_VMEM_BUDGET) == ok, (h, w, ci, co, est)

@@ -221,10 +221,14 @@ def _run_two_process_driver(tmp_path, extra=()):
     # budget accounting: 8 imgs x 3 px x (init + 2 rounds)
     assert results[0][0] == 8 * 3 * 3
 
-    # artifact layout written once by the primary
+    # artifact layout written once by the primary. The PNGs matter here:
+    # image 0 of a data-sharded batch is only addressable on one process,
+    # so their existence proves the collective fetch in driver._image0
+    # kept every process in lockstep through the visualisation dispatch.
     for stage in ("0_query", "1_query"):
         for f in ("queries.pkl", "log_train.txt", "log_val.txt",
-                  "best_miou_model.ckpt", "query_stats.pkl", "timing.json"):
+                  "best_miou_model.ckpt", "query_stats.pkl", "timing.json",
+                  "1_train.png", "1_val.png"):
             assert os.path.isfile(os.path.join(ckpt_dir, stage, f)), (stage, f)
     assert os.path.isfile(os.path.join(ckpt_dir, "2_query", "queries.pkl"))
     # no torn tmp files left behind
