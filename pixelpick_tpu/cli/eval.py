@@ -58,10 +58,11 @@ def evaluate(args, params, batch_stats, loader=None, debug: bool = False,
             # TPU-first default: round the batch up to a device-count
             # multiple so the standalone eval runs data-parallel across the
             # mesh (identical metrics — the confusion matrix is additive
-            # over images). Applies to the bucketed (VOC) loader too: its
-            # mid-bucket batches are full-size and shard evenly; only
-            # per-bucket remainder batches fall back to replication (as
-            # the fixed-size remainder does).
+            # over images). Applies to the bucketed (VOC) loader too — it
+            # fills partial batches with fully-masked duplicates
+            # (loader.py:174-185), so EVERY bucketed batch is full-size
+            # and shards evenly; only the fixed-size loader's remainder
+            # batch falls back to replication.
             val_bs = -(-val_bs // mesh.devices.size) * mesh.devices.size
         loader = Loader(dataset_val, val_bs,
                         mode="val", n_workers=args.n_workers,

@@ -126,6 +126,32 @@ def test_voc_e2e_al_round(tmp_path):
     assert model.dataset.n_pixels_total == 3 * 4 * 3
 
 
+def test_bucketed_eval_mesh_rounding_matches_meshless(tmp_path):
+    """The standalone eval CLI rounds val_batch_size up to a device-count
+    multiple even for the bucketed (VOC) loader (cli/eval.py:57-66): the
+    loader fills partial batches with fully-masked duplicates, so every
+    bucketed batch shards evenly over the 8-virtual-device mesh. The
+    confusion matrix is additive over images and duplicates carry only
+    ignore labels, so the sharded sweep's metrics must equal the meshless
+    bs-2 sweep's exactly."""
+    import jax
+    from pixelpick_tpu.cli.eval import evaluate
+    from pixelpick_tpu.models import get_model, init_model
+
+    args = _args(tmp_path)
+    model = get_model(args)
+    params, stats = init_model(model, jax.random.PRNGKey(0), (64, 64))
+
+    sharded, cls_sharded = evaluate(args, params, stats)
+
+    args.data_parallel = 1  # meshless: keeps val_batch_size=2 as-is
+    plain, cls_plain = evaluate(args, params, stats)
+
+    assert sharded["Mean IoU"] == plain["Mean IoU"]
+    assert sharded["Pixel Acc"] == plain["Pixel Acc"]
+    assert cls_sharded == cls_plain
+
+
 def test_query_cli_bucketed_mixed_shapes(tmp_path, monkeypatch):
     """The standalone query CLI on a variable-size pool: mixed image shapes
     at pool_batch_size>1 must bucket (collate would np.stack-crash
