@@ -24,22 +24,27 @@ from pixelpick_tpu.data import get_dataset, Loader
 from pixelpick_tpu.engine.checkpoint import load_checkpoint
 from pixelpick_tpu.engine.trainer import make_eval_step
 from pixelpick_tpu.models import get_model, init_model
+from pixelpick_tpu.parallel.distributed import is_primary
 from pixelpick_tpu.parallel.mesh import get_mesh, shard_batch
 from pixelpick_tpu.utils.metrics import RunningScore
 from pixelpick_tpu.utils.logging import write_log
 from pixelpick_tpu.active.driver import _pad_to_stride
 
 
-def _write_vis(dataset_name, batch, vis, fp):
-    """6-panel PNG of image 0 from the eval step's vis maps
+def _write_vis(dataset_name, batch, off, vis, fp):
+    """6-panel PNG of batch image ``off`` from the eval step's vis maps
     (reference eval.py:69-84 re-forwards instead). Panel assembly is
-    shared with the driver's per-epoch PNGs (utils/visualiser.py)."""
+    shared with the driver's per-epoch PNGs (utils/visualiser.py). Every
+    process computes ``vis``; only the primary writes (the batch itself is
+    host NumPy, addressable everywhere)."""
     from pixelpick_tpu.utils.visualiser import Visualiser, render_vis_panels
 
     try:
-        x0 = np.asarray(batch["x"][:1])[0]  # host batch: addressable
+        if not is_primary():
+            return
+        x0 = np.asarray(batch["x"][off:off + 1])[0]
         y = batch.get("y")
-        target = np.asarray(y[:1])[0] if y is not None else None
+        target = np.asarray(y[off:off + 1])[0] if y is not None else None
         render_vis_panels(Visualiser(dataset_name), x0, target, vis, fp)
     except Exception as e:  # visualisation must never kill an eval
         print(f"visualisation failed: {e}")
@@ -58,7 +63,8 @@ def evaluate(args, params, batch_stats, loader=None, debug: bool = False,
             # TPU-first default: round the batch up to a device-count
             # multiple so the standalone eval runs data-parallel across the
             # mesh (identical metrics — the confusion matrix is additive
-            # over images). Applies to the bucketed (VOC) loader too — it
+            # over images, and val loaders never drop a remainder image,
+            # loader.py drop_last). Applies to the bucketed (VOC) loader — it
             # fills partial batches with fully-masked duplicates
             # (loader.py:174-185), so EVERY bucketed batch is full-size
             # and shards evenly; only the fixed-size loader's remainder
@@ -74,23 +80,40 @@ def evaluate(args, params, batch_stats, loader=None, debug: bool = False,
     score = RunningScore(args.n_classes)
     n_img = 0
     for batch in loader:
+        # real (non-pad) images in this batch: the bucketed loader fills
+        # partial batches with fully-masked duplicates carrying index=-1
+        # (loader.py) — pads never advance the reference's per-image PNG
+        # cadence (eval.py:74-84) and real images always precede pads
+        if "index" in batch:
+            n_real = int((np.asarray(batch["index"]) >= 0).sum())
+        else:
+            n_real = batch["x"].shape[0]
+        # first global image index in this batch on the cadence, if any;
+        # vis maps are computed for ONE image per step, so when the
+        # interval is smaller than the batch only the first hit renders
+        off = (-n_img) % visualize_interval
+        hit = dir_vis is not None and off < n_real
+        vis_index = off if hit else 0
         if getattr(loader, "bucket_stride", None) is not None:
             feed = {k: v for k, v in batch.items()
                     if k not in ("index", "hw")}
             feed = shard_batch(feed, mesh)
-            hist, pred, vis = eval_fn(params, batch_stats, feed)
+            hist, pred, vis = eval_fn(params, batch_stats, feed,
+                                      vis_index=vis_index)
         elif args.dataset_name == "voc":
             batch, valid_hw = _pad_to_stride(batch, args.stride_total)
             feed = shard_batch(batch, mesh)
             hist, pred, vis = eval_fn(params, batch_stats, feed,
-                                      valid_hw=valid_hw)
+                                      valid_hw=valid_hw, vis_index=vis_index)
         else:
             feed = shard_batch(batch, mesh)
-            hist, pred, vis = eval_fn(params, batch_stats, feed)
+            hist, pred, vis = eval_fn(params, batch_stats, feed,
+                                      vis_index=vis_index)
         score.merge(hist)
-        if dir_vis and (n_img % visualize_interval) == 0:
-            _write_vis(args.dataset_name, batch, vis, f"{dir_vis}/{n_img}.png")
-        n_img += batch["x"].shape[0]
+        if hit:
+            _write_vis(args.dataset_name, batch, off, vis,
+                       f"{dir_vis}/{n_img + off}.png")
+        n_img += n_real
         if debug:
             break
     return score.get_scores()
@@ -110,9 +133,10 @@ def main():
     scores, cls_iu = evaluate(
         args, params, batch_stats, debug=args.debug, dir_vis=dir_vis,
         visualize_interval=getattr(args, "visualize_interval", 100))
-    write_log(f"{dir_vis}/log_val.txt",
-              list_entities=[0, scores["Mean IoU"], scores["Pixel Acc"]],
-              header=["epoch", "miou", "pixel_acc"])
+    if is_primary():  # multi-process: one writer on the shared filesystem
+        write_log(f"{dir_vis}/log_val.txt",
+                  list_entities=[0, scores["Mean IoU"], scores["Pixel Acc"]],
+                  header=["epoch", "miou", "pixel_acc"])
     print(scores)
     print("per-class IoU:", cls_iu)
 

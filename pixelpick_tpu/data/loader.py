@@ -6,6 +6,12 @@ device computes, batches are collated into contiguous NumPy arrays ready
 for a jitted step. Matches the reference's batching quirks: optional
 shuffling per epoch and ``drop_last`` only when the remainder is exactly 1
 (``utils/utils.py:107``) — so at most two batch shapes compile per loader.
+The drop-last rule applies to TRAIN modes only: the reference shares it
+across every loader but always builds val/query at batch size 1
+(``eval.py:113``, ``model.py:36-38``) where ``n % 1 == 1`` can never hold,
+so no val or pool image is ever dropped there — at TPU batch sizes the
+shared rule would silently skip one val image from the metrics (or worse,
+leave one pool image forever unscorable by acquisition).
 
 Augmentation RNG is per-(epoch, index) (see ``data/augment.py``), so results
 are independent of thread scheduling.
@@ -70,7 +76,9 @@ class Loader:
         self._buckets = None  # lazy: [(bucket_hw, [indices...]), ...]
         self.epoch = 0
         n = len(dataset)
-        self.drop_last = (n % batch_size) == 1  # utils/utils.py:107
+        # utils/utils.py:107, train-only (see module docstring)
+        self.drop_last = (mode in ("train", "train_dense")
+                          and (n % batch_size) == 1)
         # separate pools: orchestrators must never wait on tasks queued in
         # their own pool (deadlocks when n_workers is small)
         self._pool = ThreadPoolExecutor(max_workers=self.n_workers)

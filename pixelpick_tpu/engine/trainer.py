@@ -182,15 +182,18 @@ def make_eval_step(model, *, n_classes: int, mean, std,
     — handled by the caller via static padded shapes; here ``valid_hw``
     crops the confusion-matrix contribution.
 
-    Returns ``(hist, pred, vis)`` where ``vis`` holds image 0's 6-panel
+    Returns ``(hist, pred, vis)`` where ``vis`` holds ONE image's 6-panel
     visualisation maps (pred/confidence/margin/entropy) computed from the
     logits this step already produced — so per-epoch PNGs cost no separate
     forward pass or XLA program (reference re-forwards per visualisation,
-    ``model.py:150-158``).
+    ``model.py:150-158``). ``vis_index`` picks the image (traced scalar —
+    no recompile across values), letting the batched eval CLI hit the
+    reference's per-image PNG cadence (``eval.py:74-84``) exactly even
+    when the cadence image is not a batch's first.
     """
 
     @functools.partial(jax.jit, static_argnames=("valid_hw",))
-    def eval_step(params, batch_stats, batch, valid_hw=None):
+    def eval_step(params, batch_stats, batch, valid_hw=None, vis_index=0):
         x = normalize_images(batch["x"], mean, std)
         # upsample=False + explicit pred resize: skips the full-resolution
         # 256-channel emb resize the model's upsample=True path would also
@@ -204,13 +207,18 @@ def make_eval_step(model, *, n_classes: int, mean, std,
             logits = logits[:, :valid_hw[0], :valid_hw[1]]
         pred = logits.argmax(-1)
         hist = confusion_matrix(batch["y"], pred, n_classes)
-        return hist, pred, vis_maps(logits[:1])
+        logits_vis = jax.lax.dynamic_slice_in_dim(logits, vis_index, 1, 0)
+        return hist, pred, vis_maps(logits_vis)
 
     return eval_step
 
 
 def make_forward_fn(model, *, mean, std) -> Callable:
-    """Plain jitted inference: normalised forward returning full-res logits."""
+    """Plain jitted inference: normalised forward returning full-res logits.
+
+    Not used on any hot path (the driver/eval CLI visualise from the eval
+    step's own outputs); kept as the public inference escape hatch and the
+    single-chip compile-check entry (``__graft_entry__.py:entry``)."""
 
     @jax.jit
     def forward(params, batch_stats, x_uint8):

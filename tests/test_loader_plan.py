@@ -65,3 +65,24 @@ def test_plan_is_seeded_permutation_with_drop_last_rule():
     assert [len(b) for b in plan] == [4, 4, 2]
     assert sorted(np.concatenate(plan).tolist()) == list(range(10))
     loader.close()
+
+
+def test_drop_last_is_train_only():
+    """The remainder-1 drop applies only to train loaders. The reference
+    shares the rule across every loader (utils/utils.py:107) but builds
+    val/query strictly at batch size 1 (eval.py:113, model.py:36-38) where
+    it can never fire — so no val image may vanish from the metrics and no
+    pool image may become unscorable at TPU batch sizes."""
+    for mode in ("val", "query"):
+        loader = Loader(_StubDataset(9), 4, mode=mode, n_workers=1)
+        assert not loader.drop_last
+        plan = loader.batch_index_plan(0)
+        assert [len(b) for b in plan] == [4, 4, 1]
+        assert len(loader) == 3
+        assert sorted(np.concatenate(plan).tolist()) == list(range(9))
+        loader.close()
+    for mode in ("train", "train_dense"):
+        loader = Loader(_StubDataset(9), 4, mode=mode, n_workers=1)
+        assert loader.drop_last
+        assert len(loader) == 2
+        loader.close()
