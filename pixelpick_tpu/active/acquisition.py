@@ -200,8 +200,14 @@ def make_score_fn(model, *, strategy: str, n_classes: int, mean, std,
         d = jnp.sqrt((dy * dy + dx * dx).astype(jnp.float32))
         pair_ok = (picked_valid[:, :, None] & picked_valid[:, None, :]
                    & ~jnp.eye(n_pixels, dtype=bool))
-        coverage = (d * pair_ok).sum((1, 2)) / jnp.maximum(
-            pair_ok.sum((1, 2)), 1)
+        # an image with < 2 valid picks has no pair distances: NaN, exactly
+        # as the reference's _spatial_coverage (query.py:269-279, the
+        # except-ValueError/empty-mean paths); 0.0 would bias the average
+        n_pairs = pair_ok.sum((1, 2))
+        coverage = jnp.where(
+            n_pairs > 0,
+            (d * pair_ok).sum((1, 2)) / jnp.maximum(n_pairs, 1),
+            jnp.nan)
 
         stats = {"entropy": picked_ent, "labels": picked_y,
                  "coverage": coverage, "picked_valid": picked_valid}

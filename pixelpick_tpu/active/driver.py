@@ -214,9 +214,13 @@ class ALModel:
         n_imgs = 0
         last_batch = None
         losses = []
+        overflows = []
         for batch in self._epoch_batches(epoch, rng):
             batch = shard_batch(batch, self.mesh) \
                 if self.device_pipe is None else batch
+            over = batch.pop("overflow", None)
+            if over is not None:
+                overflows.append(over)
             state, loss, hist = step_fn(state, batch, rng)
             score.merge(hist)
             losses.append(loss)
@@ -232,6 +236,17 @@ class ALModel:
         if losses:
             for loss in np.asarray(jnp.stack(losses)):
                 self.running_loss.update(float(loss))
+        if overflows:
+            # device-path analogue of the host extractor's overflow warning
+            # (data/base.py:SPARSE_OVERFLOW_COUNT): labelled pixels beyond
+            # k_max would be silently dropped by top-k — surface it
+            n_over = int(np.asarray(jnp.stack(overflows)).sum())
+            if n_over:
+                import pixelpick_tpu.data.base as _base
+                _base.SPARSE_OVERFLOW_COUNT += n_over
+                print(f"WARNING: device sparse extraction dropped {n_over} "
+                      f"labelled pixels (crops exceeded k_max) this epoch — "
+                      f"parity bug, raise k_max headroom")
         scores = score.get_scores()[0]
         miou, pixel_acc = scores["Mean IoU"], scores["Pixel Acc"]
         dt = time.time() - t0
@@ -269,11 +284,11 @@ class ALModel:
                 feed = shard_batch(feed, self.mesh)
                 hist, pred, vis = eval_fn(state.params, state.batch_stats,
                                           feed)
-            elif args.dataset_name == "voc":
-                batch, valid_hw = _pad_to_stride(batch, args.stride_total)
-                hist, pred, vis = eval_fn(state.params, state.batch_stats,
-                                          batch, valid_hw=valid_hw)
             else:
+                # variable-size datasets (VOC) always get a bucketed val
+                # loader here (driver __init__), so every batch takes the
+                # branch above; the per-batch _pad_to_stride path serves
+                # externally-built loaders in cli/eval.py only
                 batch = shard_batch(batch, self.mesh)
                 hist, pred, vis = eval_fn(state.params, state.batch_stats,
                                           batch)

@@ -48,7 +48,11 @@ class QueryStats:
             "label_distribution": self.dict_label_cnt,
             "avg_entropy": float(np.mean(self.list_entropy)) if self.list_entropy else float("nan"),
             "avg_n_unique_labels": float(np.mean(self.list_n_unique_labels)) if self.list_n_unique_labels else float("nan"),
-            "avg_spatial_coverage": float(np.nanmean(self.list_spatial_coverage)) if self.list_spatial_coverage else float("nan"),
+            # per-image coverage is NaN below 2 valid picks, exactly as the
+            # reference's _spatial_coverage (query.py:269-279); nanmean
+            # (deliberate deviation from the reference's np.mean, which one
+            # sparse image poisons to NaN) still averages the others
+            "avg_spatial_coverage": float(np.nanmean(self.list_spatial_coverage)) if self.list_spatial_coverage and not np.all(np.isnan(self.list_spatial_coverage)) else float("nan"),
         }
         for k, v in dict_stats.items():
             print(f"{k}: {v}")

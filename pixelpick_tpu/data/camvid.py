@@ -22,6 +22,17 @@ class CamVidDataset(SegDatasetBase):
         assert len(self.list_inputs) > 0
         if mode != "train":
             assert len(self.list_inputs) == len(self.list_labels)
+        if self.list_labels:
+            # pairing is positional (two independent sorted globs): one
+            # missing/extra annot file would silently shift every later
+            # (image, label) pair — verify the filenames correspond
+            assert len(self.list_inputs) == len(self.list_labels), (
+                f"{len(self.list_inputs)} images vs "
+                f"{len(self.list_labels)} label files under "
+                f"{args.dir_dataset}/{mode}[annot]")
+            for px, py in zip(self.list_inputs, self.list_labels):
+                assert os.path.basename(px) == os.path.basename(py), \
+                    f"image/label mismatch: {px} vs {py}"
         self.crop_size = (360, 480)
         if args.n_pixels_by_us != 0 and not val and generate_init_queries:
             self.generate_init_queries(

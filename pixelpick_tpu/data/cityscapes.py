@@ -37,9 +37,11 @@ def make_downsampled_cityscapes(dir_cityscapes: str, downsample: int = 4,
     (cityscapes.py:106-134). Output dir: ``{dir}_d{downsample}``.
 
     Unlike the reference, target sizes derive from the actual image (the
-    reference hardcodes 1024x2048) and destination paths via relpath (the
+    reference hardcodes 1024x2048), destination paths via relpath (the
     reference's substring replace corrupts paths whose parents contain the
-    dataset dir name).
+    dataset dir name), and the build is RESUMABLE: pairs whose outputs both
+    exist are skipped, so a build killed mid-way completes on the next run
+    instead of leaving a silently truncated cache behind.
     """
     src_root = dir_cityscapes.rstrip("/")
     dst_root = f"{src_root}_d{downsample}"
@@ -50,6 +52,10 @@ def make_downsampled_cityscapes(dir_cityscapes: str, downsample: int = 4,
     for px, py in zip(xs, ys):
         dst_x = os.path.join(dst_root, os.path.relpath(os.path.dirname(px), src_root))
         dst_y = os.path.join(dst_root, os.path.relpath(os.path.dirname(py), src_root))
+        out_x = os.path.join(dst_x, os.path.basename(px))
+        out_y = os.path.join(dst_y, os.path.basename(py))
+        if os.path.isfile(out_x) and os.path.isfile(out_y):
+            continue
         os.makedirs(dst_x, exist_ok=True)
         os.makedirs(dst_y, exist_ok=True)
         img = Image.open(px)
@@ -57,8 +63,8 @@ def make_downsampled_cityscapes(dir_cityscapes: str, downsample: int = 4,
         x = img.resize((w, h), Image.BILINEAR)
         y = np.asarray(Image.open(py).resize((w, h), Image.NEAREST))
         y = lut[y]
-        x.save(os.path.join(dst_x, os.path.basename(px)))
-        Image.fromarray(y).save(os.path.join(dst_y, os.path.basename(py)))
+        x.save(out_x)
+        Image.fromarray(y).save(out_y)
 
 
 class CityscapesDataset(SegDatasetBase):
@@ -74,23 +80,29 @@ class CityscapesDataset(SegDatasetBase):
                  generate_init_queries: bool = True):
         super().__init__(args, val=val, query=query)
         ds = args.downsample
-        # the reference always evaluates at half resolution (cityscapes.py:25-28)
-        dir_dataset = f"{args.dir_dataset}_d{ds}" if (ds > 1 and not val) \
-            else f"{args.dir_dataset}_d2"
+        # the reference always evaluates at half resolution
+        # (cityscapes.py:25-28) — so the VAL instance's cache factor is 2
+        # regardless of --downsample (the reference builds only _d{ds} and
+        # then crashes reading _d2 on a fresh quarter-res setup; here each
+        # instance builds the cache IT reads)
+        factor = ds if (ds > 1 and not val) else 2
+        dir_dataset = f"{args.dir_dataset}_d{factor}"
         # multi-host: only the primary builds the downsample cache; a "done"
         # sentinel gates readers so a lagging process can never glob a
-        # half-built directory (the dir appears long before it's complete)
+        # half-built directory (the dir appears long before it's complete).
+        # The build is resumable (existing pairs are skipped), so running it
+        # whenever the sentinel is absent completes interrupted builds —
+        # including pre-sentinel dirs and caches the reference code left
+        # half-written — instead of blessing them as done.
         from pixelpick_tpu.data.base import _is_primary, wait_for_primary_file
         sentinel = f"{dir_dataset}/.downsample_complete"
         if _is_primary():
             if not os.path.isfile(sentinel):
-                if not os.path.isdir(dir_dataset):
-                    print("Downsampling Cityscapes images...")
-                    make_downsampled_cityscapes(args.dir_dataset,
-                                                downsample=ds, val=False)
-                    make_downsampled_cityscapes(args.dir_dataset,
-                                                downsample=ds, val=True)
-                # pre-existing dirs (built before sentinels) count as done
+                print(f"Downsampling Cityscapes images (x1/{factor})...")
+                make_downsampled_cityscapes(args.dir_dataset,
+                                            downsample=factor, val=False)
+                make_downsampled_cityscapes(args.dir_dataset,
+                                            downsample=factor, val=True)
                 with open(sentinel, "w") as f:
                     f.write("ok\n")
         else:
@@ -99,6 +111,14 @@ class CityscapesDataset(SegDatasetBase):
         self.list_inputs = sorted(glob(f"{dir_dataset}/leftImg8bit/{mode}/**/*.png"))
         self.list_labels = sorted(glob(f"{dir_dataset}/gtFine/{mode}/**/*_labelIds.png"))
         assert len(self.list_inputs) == len(self.list_labels) and self.list_inputs
+        for px, py in zip(self.list_inputs, self.list_labels):
+            # positional pairing over two sorted globs: verify the stems
+            # (name minus the leftImg8bit/gtFine_labelIds suffix)
+            # correspond so one stray file can't shift every later
+            # (image, label) pair
+            sx = os.path.basename(px).replace("_leftImg8bit.png", "")
+            sy = os.path.basename(py).replace("_gtFine_labelIds.png", "")
+            assert sx == sy, f"image/label mismatch: {px} vs {py}"
 
         self.crop_size = {2: (512, 1024), 4: (256, 512)}[ds]
         # quarter-res train set fits in RAM; half-res val is larger

@@ -249,7 +249,13 @@ def _shifted_stack(xp, k, axis):
 
 def sparse_coords_device(q, y, ignore_index, k_max):
     """Device analogue of data/base.py:extract_sparse_labels: top-K positions
-    of the (augmented) query mask -> (coords, labels, valid)."""
+    of the (augmented) query mask -> (coords, labels, valid, overflow).
+
+    ``overflow`` counts labelled pixels beyond ``k_max`` that top-k DROPPED —
+    the host path warns and bumps ``base.SPARSE_OVERFLOW_COUNT`` for the
+    same event (any overflow is a parity bug vs the reference's dense path,
+    base.py); the driver drains this signal once per epoch alongside the
+    losses so the production device path can't truncate labels silently."""
     ch, cw = q.shape
     flat = q.reshape(-1).astype(jnp.int32)
     _, idx = jax.lax.top_k(flat, k_max)
@@ -259,7 +265,8 @@ def sparse_coords_device(q, y, ignore_index, k_max):
     labels = y[ys, xs].astype(jnp.int32)
     valid = picked & (labels != ignore_index)
     coords = jnp.stack([ys, xs], -1).astype(jnp.int32)
-    return coords, labels, valid
+    overflow = jnp.maximum(flat.sum() - k_max, 0)
+    return coords, labels, valid, overflow
 
 
 # --------------------------- pipeline ---------------------------
@@ -292,25 +299,15 @@ class DevicePipeline:
         self.mesh = mesh
         n = len(dataset)
         self.variable_size = bool(getattr(dataset, "variable_size", False))
-        if self.variable_size:
-            # VOC-style: stage base-resized images padded to a common shape
-            # with per-image true sizes; the warp clips its taps to the true
-            # extent so the pad region is never sampled
-            samples = [self._variable_sample(dataset, i) for i in range(n)]
-            hs = [s[0].shape[0] for s in samples]
-            ws = [s[0].shape[1] for s in samples]
-            sh, sw = max(hs), max(ws)
-            xs = np.zeros((n, sh, sw, 3), np.uint8)
-            ys = np.full((n, sh, sw), dataset.ignore_index, np.int32)
-            for i, (x, y) in enumerate(samples):
-                xs[i, :x.shape[0], :x.shape[1]] = x
-                ys[i, :y.shape[0], :y.shape[1]] = y
-            self.hw = self._stage(np.stack([hs, ws], -1).astype(np.int32))
-        else:
-            xs = np.stack([dataset._load_x(i) for i in range(n)])
-            ys = np.stack([dataset._load_y(i)
-                           for i in range(n)]).astype(np.int32)
-            self.hw = None
+        # staging reads every image exactly once — don't let those reads
+        # populate the dataset's host image/label caches (hundreds of MB
+        # the device-augment path would pin but never read again)
+        prev_cache = getattr(dataset, "cache_images", False)
+        dataset.cache_images = False
+        try:
+            xs, ys = self._stack_dataset(dataset, n)
+        finally:
+            dataset.cache_images = prev_cache
         self.images = self._stage(xs)   # (N,H,W,3) uint8 in HBM
         self.labels = self._stage(ys)
         self.queries = None
@@ -339,8 +336,9 @@ class DevicePipeline:
             xa = photometric_device(xa, kp, jitter=jitter,
                                     blur_kernel=blur_k, enabled=photo)
             xn = (xa / 255.0 - mean) / std
-            coords, labels, valid = sparse_coords_device(qa, ya, ignore, k_m)
-            return xn, coords, labels, valid
+            coords, labels, valid, over = sparse_coords_device(
+                qa, ya, ignore, k_m)
+            return xn, coords, labels, valid, over
 
         def batch_impl(images, labels_, queries, indices, rng, hws=None):
             keys = jax.random.split(rng, indices.shape[0])
@@ -348,12 +346,14 @@ class DevicePipeline:
             yb = labels_[indices]
             qb = queries[indices]
             if hws is None:
-                xn, coords, lab, valid = jax.vmap(
+                xn, coords, lab, valid, over = jax.vmap(
                     lambda x, y, q, k: one(x, y, q, None, k))(xb, yb, qb, keys)
             else:
-                xn, coords, lab, valid = jax.vmap(one)(
+                xn, coords, lab, valid, over = jax.vmap(one)(
                     xb, yb, qb, hws[indices], keys)
-            return {"x": xn, "coords": coords, "labels": lab, "valid": valid}
+            # scalar (replicated) so the per-epoch drain costs one fetch
+            return {"x": xn, "coords": coords, "labels": lab, "valid": valid,
+                    "overflow": over.sum()}
 
         self._batch_fn = jax.jit(batch_impl)
         self._batch_fn_sharded = None
@@ -363,19 +363,45 @@ class DevicePipeline:
             from pixelpick_tpu.parallel.distributed import LockstepJit
 
             out = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
             self._batch_fn_sharded = LockstepJit(jax.jit(
                 batch_impl,
                 out_shardings={"x": out, "coords": out, "labels": out,
-                               "valid": out}), "pipe_sharded")
+                               "valid": out, "overflow": rep}),
+                "pipe_sharded")
             if jax.process_count() > 1:
                 # multi-process: the staged arrays are GLOBAL (replicated),
                 # so the plain local jit can't consume them — remainder
                 # batches fall back to replicated outputs instead
-                rep = NamedSharding(mesh, P())
                 self._batch_fn = LockstepJit(jax.jit(
                     batch_impl,
                     out_shardings={"x": rep, "coords": rep, "labels": rep,
-                                   "valid": rep}), "pipe_replicated")
+                                   "valid": rep, "overflow": rep}),
+                    "pipe_replicated")
+
+    def _stack_dataset(self, dataset, n):
+        """(images, labels) host stacks for staging; sets ``self.hw``
+        (per-image true sizes, variable-size datasets only)."""
+        if self.variable_size:
+            # VOC-style: stage base-resized images padded to a common shape
+            # with per-image true sizes; the warp clips its taps to the true
+            # extent so the pad region is never sampled
+            samples = [self._variable_sample(dataset, i) for i in range(n)]
+            hs = [s[0].shape[0] for s in samples]
+            ws = [s[0].shape[1] for s in samples]
+            sh, sw = max(hs), max(ws)
+            xs = np.zeros((n, sh, sw, 3), np.uint8)
+            ys = np.full((n, sh, sw), dataset.ignore_index, np.int32)
+            for i, (x, y) in enumerate(samples):
+                xs[i, :x.shape[0], :x.shape[1]] = x
+                ys[i, :y.shape[0], :y.shape[1]] = y
+            self.hw = self._stage(np.stack([hs, ws], -1).astype(np.int32))
+        else:
+            xs = np.stack([dataset._load_x(i) for i in range(n)])
+            ys = np.stack([dataset._load_y(i)
+                           for i in range(n)]).astype(np.int32)
+            self.hw = None
+        return xs, ys
 
     @staticmethod
     def _variable_sample(dataset, i):

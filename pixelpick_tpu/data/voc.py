@@ -96,6 +96,11 @@ class VOC2012Segmentation(SegDatasetBase):
         n_px = args.n_pixels_by_us
         init_n = args.n_init_pixels if args.n_init_pixels > 0 else n_px
         if n_px != 0 and not val and generate_init_queries:
+            # same multi-host primary-publish/wait protocol as
+            # base.generate_init_queries (via the SAME shared helpers —
+            # keep any protocol change in base.py's helpers, not here);
+            # only the generation differs: labels are sampled at the
+            # base-resized size and cached as raw masks (voc.py:47-66)
             from pixelpick_tpu.data.base import atomic_publish, \
                 wait_for_primary_file
             path_queries = f"{args.dir_dataset}/init_labelled_pixels_{self.seed}.pkl"

@@ -121,6 +121,14 @@ def make_train_step(model, tx, *, n_classes: int, mean, std,
             full_hw, n_classes, gather_impl=gather_impl)
         return loss, (mutated["batch_stats"], hist)
 
+    return _jit_step(loss_fn, tx, donate)
+
+
+def _jit_step(loss_fn, tx, donate: bool) -> Callable:
+    """The shared step: grad of ``loss_fn(params, batch_stats, batch,
+    drop_rng) -> (loss, (new_batch_stats, hist))``, optimizer update,
+    TrainState rebuild — jitted with the prior state donated."""
+
     def train_step(state: TrainState, batch, rng):
         drop_rng = jax.random.fold_in(rng, state.step)
         (loss, (new_stats, hist)), grads = jax.value_and_grad(
@@ -159,18 +167,7 @@ def make_dense_train_step(model, tx, *, n_classes: int, ignore_index: int,
                                 n_classes)
         return loss, (mutated["batch_stats"], hist)
 
-    def train_step(state: TrainState, batch, rng):
-        drop_rng = jax.random.fold_in(rng, state.step)
-        (loss, (new_stats, hist)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, drop_rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params=params, batch_stats=new_stats,
-                               opt_state=opt_state, step=state.step + 1)
-        return new_state, loss, hist
-
-    donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    return _jit_step(loss_fn, tx, donate)
 
 
 def make_eval_step(model, *, n_classes: int, mean, std,

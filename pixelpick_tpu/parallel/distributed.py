@@ -110,24 +110,32 @@ class LockstepJit:
         self._seen: set = set()
 
     @staticmethod
-    def _sig(args):
+    def _sig(tree):
+        """Hashable compile signature of a pytree: array-likes by
+        (shape, dtype, sharding spec) — their VALUES are traced and must
+        not enter the key (a jax.Array in the key would be unhashable and
+        its repr would fetch the buffer) — everything else (static kwargs
+        like ``valid_hw``, dict keys) by value, since distinct static
+        values compile distinct programs."""
         import jax
 
-        leaves = jax.tree.leaves(args)
         out = []
-        for leaf in leaves:
-            shape = getattr(leaf, "shape", None)
-            dtype = str(getattr(leaf, "dtype", type(leaf).__name__))
-            sh = getattr(leaf, "sharding", None)
-            spec = str(getattr(sh, "spec", None)) if sh is not None else None
-            out.append((shape, dtype, spec))
+        for leaf in jax.tree.leaves(tree):
+            if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+                sh = getattr(leaf, "sharding", None)
+                spec = str(getattr(sh, "spec", None)) if sh is not None \
+                    else None
+                out.append((tuple(leaf.shape), str(leaf.dtype), spec))
+            else:
+                out.append(leaf)
         return tuple(out)
 
     def __call__(self, *args, **kwargs):
         import jax
 
         if jax.process_count() > 1:
-            key = (self._sig(args), tuple(sorted(kwargs.items())))
+            key = (self._sig(args),
+                   self._sig(tuple(sorted(kwargs.items()))))
             if key not in self._seen:
                 import zlib
 

@@ -99,6 +99,50 @@ def test_score_fn_end_to_end_excludes_labelled_and_void():
     assert (ys >= 1).all(), "picked a void pixel"
     assert stats["entropy"].shape == (2, 5)
     assert stats["coverage"].shape == (2,)
+    # >= 2 valid picks: coverage is a finite mean pairwise distance
+    assert np.isfinite(np.asarray(stats["coverage"])).all()
+
+
+def test_spatial_coverage_nan_below_two_picks():
+    """An image with < 2 valid picks has no pair distances: per-image
+    coverage is NaN exactly as the reference's _spatial_coverage
+    (query.py:269-279) — 0.0 would bias the round average — and QueryStats
+    aggregates with nanmean (documented deviation from the reference's
+    np.mean, which one sparse image poisons to NaN)."""
+    import flax.linen as nn
+
+    from pixelpick_tpu.active.stats import QueryStats
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, upsample=True):
+            return {"pred": nn.Conv(4, (1, 1))(x), "emb": x}
+
+    model = Tiny()
+    x = np.random.default_rng(0).integers(0, 255, (2, 8, 8, 3),
+                                          dtype=np.uint8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)))
+    score_fn = make_score_fn(model, strategy="margin_sampling", n_classes=4,
+                             mean=[0.5] * 3, std=[0.25] * 3, n_pixels=1,
+                             top_n_percent=0.0, reverse_order=False,
+                             ignore_index=11, mc_n_steps=0)
+    _, stats = score_fn(variables["params"], {},
+                        {"x": x, "excluded": np.zeros((2, 8, 8), bool),
+                         "y": np.zeros((2, 8, 8), np.int32)},
+                        jax.random.PRNGKey(0))
+    cov = np.asarray(stats["coverage"])
+    assert np.isnan(cov).all()  # a single pick has no pairs
+
+    class _A:  # minimal args for QueryStats
+        dir_checkpoints = "/tmp/unused"
+        n_classes = 4
+
+    qs = QueryStats(_A())
+    qs.update_batch({k: np.asarray(v) for k, v in stats.items()})
+    assert np.isnan(qs.list_spatial_coverage).all()
+    # mixed lists average the finite entries (nanmean)
+    qs.list_spatial_coverage.append(3.0)
+    assert np.isclose(np.nanmean(qs.list_spatial_coverage), 3.0)
 
 
 def test_mc_dropout_committee_runs():

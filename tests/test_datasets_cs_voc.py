@@ -58,6 +58,62 @@ def test_cityscapes_downsample_cache_and_queries(tmp_path):
     np.testing.assert_array_equal(np.stack(ds2.queries), np.stack(ds.queries))
 
 
+def test_cityscapes_val_builds_halfres_cache(tmp_path):
+    """--downsample 4 with a VAL instance: the reference always evaluates
+    at half resolution (cityscapes.py:25-28) but builds only the _d4 cache
+    and then crashes reading _d2 on a fresh setup; here the val instance
+    builds the _d2 cache it actually reads."""
+    root = _make_cityscapes(str(tmp_path / "cityscapes"))
+    import pixelpick_tpu.data.cityscapes as cs_mod
+
+    args = default_args("cs", dir_dataset=root,
+                        dir_checkpoints=str(tmp_path / "ck"),
+                        n_pixels_by_us=5, downsample=4)
+    os.makedirs(args.dir_checkpoints, exist_ok=True)
+    ds_val = cs_mod.CityscapesDataset(args, val=True)  # fresh: no _d4 yet
+    assert os.path.isfile(f"{root}_d2/.downsample_complete")
+    assert len(ds_val) == 3
+    y = ds_val._load_y(0)
+    assert y.shape == (32, 64) and y.max() <= 19  # half res, remapped
+
+
+def test_cityscapes_interrupted_cache_build_resumes(tmp_path):
+    """A downsample build killed mid-way (cache dir exists, sentinel
+    absent, files missing) is COMPLETED on the next construction — never
+    blessed as done with the truncation intact."""
+    root = _make_cityscapes(str(tmp_path / "cityscapes"))
+    import pixelpick_tpu.data.cityscapes as cs_mod
+
+    args = default_args("cs", dir_dataset=root,
+                        dir_checkpoints=str(tmp_path / "ck"),
+                        n_pixels_by_us=0, downsample=2)
+    os.makedirs(args.dir_checkpoints, exist_ok=True)
+    ds = cs_mod.CityscapesDataset(args)
+    n_imgs = len(ds.list_inputs)
+    # simulate the interrupted build the reference leaves behind: drop one
+    # cached image+label pair and the sentinel
+    os.remove(ds.list_inputs[-1])
+    os.remove(ds.list_labels[-1])
+    os.remove(f"{root}_d2/.downsample_complete")
+    ds2 = cs_mod.CityscapesDataset(args)
+    assert len(ds2.list_inputs) == n_imgs  # rebuilt, not blessed truncated
+    assert os.path.isfile(f"{root}_d2/.downsample_complete")
+
+
+def test_camvid_pairing_mismatch_detected(tmp_path):
+    """One stray label file shifts positional (image, label) pairing — the
+    constructor must refuse instead of silently training on wrong labels."""
+    from tests.helpers import make_synthetic_camvid, synthetic_args
+
+    args = synthetic_args(tmp_path, n_pixels_by_us=4, max_budget=4)
+    # drop one annot: every later pair would silently shift
+    os.remove(f"{args.dir_dataset}/trainannot/000.png")
+    from pixelpick_tpu.data.camvid import CamVidDataset
+
+    with pytest.raises(AssertionError):
+        CamVidDataset(args)
+
+
 def _make_voc(root, n=3):
     rng = np.random.default_rng(1)
     base = f"{root}/VOCdevkit/VOC2012"

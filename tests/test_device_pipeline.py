@@ -130,7 +130,7 @@ def test_sparse_coords_device_matches_host():
     rng = np.random.default_rng(2)
     q = rng.random((12, 16)) < 0.1
     y = rng.integers(0, 12, (12, 16)).astype(np.int32)  # 11 == ignore
-    coords, labels, valid = sparse_coords_device(
+    coords, labels, valid, over = sparse_coords_device(
         jnp.asarray(q), jnp.asarray(y), ignore_index=11, k_max=32)
     coords, labels, valid = map(np.asarray, (coords, labels, valid))
     hc, hl, hv = extract_sparse_labels(q, y, 11, 32)
@@ -138,6 +138,37 @@ def test_sparse_coords_device_matches_host():
     got = {(int(cy), int(cx)) for (cy, cx), v in zip(coords, valid) if v}
     want = {(int(cy), int(cx)) for (cy, cx), v in zip(hc, hv) if v}
     assert got == want
+    assert int(over) == 0  # k_max has headroom here
+
+    # k_max too small: top-k DROPS labelled pixels; the kernel reports
+    # exactly how many (the host path warns + bumps SPARSE_OVERFLOW_COUNT
+    # for the same event — the device path must not truncate silently)
+    n_q = int(q.sum())
+    *_, over2 = sparse_coords_device(jnp.asarray(q), jnp.asarray(y),
+                                     ignore_index=11, k_max=2)
+    assert int(over2) == n_q - 2
+
+
+def test_pipeline_batch_reports_overflow(tmp_path):
+    """sample_batch carries a replicated scalar 'overflow' the driver
+    drains per epoch; with adequate k_max it is 0, with a starved k_max it
+    counts the dropped labelled pixels."""
+    from tests.helpers import synthetic_args
+    from pixelpick_tpu.data import get_dataset
+    from pixelpick_tpu.data.device_pipeline import DevicePipeline
+
+    args = synthetic_args(tmp_path, n_pixels_by_us=6, device_augment=True)
+    ds = get_dataset(args)
+    ds.crop_size = (48, 64)
+    pipe = DevicePipeline(ds, args)
+    pipe.set_queries(ds.queries)
+    b = pipe.sample_batch(np.array([0, 1]), jax.random.PRNGKey(0))
+    assert int(b["overflow"]) == 0
+
+    starved = DevicePipeline(ds, args, k_max=1)
+    starved.set_queries(ds.queries)
+    b2 = starved.sample_batch(np.array([0, 1]), jax.random.PRNGKey(0))
+    assert int(b2["overflow"]) > 0
 
 
 def test_e2e_round_with_device_augment(tmp_path):

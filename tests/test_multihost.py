@@ -139,6 +139,14 @@ def test_lockstep_jit_single_process_passthrough():
     # keys are process-deterministic (crc32 of repr, never salted hash())
     import zlib
     assert zlib.crc32(repr(s1).encode()) == zlib.crc32(repr(s2).encode())
+    # kwargs signatures: array-valued kwargs (device_pipeline's hws=...)
+    # key by shape/dtype — hashable, value-independent; static kwargs
+    # (eval's valid_hw) key by VALUE (distinct values = distinct programs)
+    k1 = LockstepJit._sig(tuple(sorted({"hws": x, "n": 3}.items())))
+    k2 = LockstepJit._sig(tuple(sorted({"hws": x + 5, "n": 3}.items())))
+    k3 = LockstepJit._sig(tuple(sorted({"hws": x, "n": 4}.items())))
+    hash(k1)  # a jax.Array in the key would raise TypeError here
+    assert k1 == k2 and k1 != k3
     # attribute delegation to the wrapped jit function
     assert hasattr(wrapped, "lower")
 
