@@ -242,8 +242,12 @@ class ALModel:
             # k_max would be silently dropped by top-k — surface it
             n_over = int(np.asarray(jnp.stack(overflows)).sum())
             if n_over:
+                # same units as the host extractor (data/base.py): COUNT is
+                # event-valued (one per epoch-with-overflow here), PIXELS
+                # carries the dropped-pixel total
                 import pixelpick_tpu.data.base as _base
-                _base.SPARSE_OVERFLOW_COUNT += n_over
+                _base.SPARSE_OVERFLOW_COUNT += 1
+                _base.SPARSE_OVERFLOW_PIXELS += n_over
                 print(f"WARNING: device sparse extraction dropped {n_over} "
                       f"labelled pixels (crops exceeded k_max) this epoch — "
                       f"parity bug, raise k_max headroom")

@@ -77,6 +77,15 @@ def evaluate(args, params, batch_stats, loader=None, debug: bool = False,
                              mean=args.mean, std=args.std)
     if dir_vis:
         os.makedirs(dir_vis, exist_ok=True)
+        if visualize_interval < loader.batch_size:
+            # documented deviation (PARITY.md): vis maps are computed for
+            # ONE image per eval step, so an interval smaller than the
+            # (mesh-rounded) batch renders fewer PNGs than the reference's
+            # per-image cadence (eval.py:74-84) — warn so it's no surprise
+            print(f"WARNING: visualize_interval={visualize_interval} < "
+                  f"batch_size={loader.batch_size}: at most one PNG per "
+                  f"batch will be written (see PARITY.md, batched-eval "
+                  f"PNG cadence)")
     score = RunningScore(args.n_classes)
     n_img = 0
     for batch in loader:

@@ -62,12 +62,15 @@ def atomic_publish(path: str, write_fn) -> None:
 
 from pixelpick_tpu.active import codec
 
-# Count of sparse-extraction overflows (labelled pixels dropped because a
+# Sparse-extraction overflow counters (labelled pixels dropped because a
 # crop contained more than k_max of them). The reference's dense path never
 # drops a labelled pixel (model.py:108-116), so any overflow is a parity
 # bug — k_max carries scale-aware headroom to make this unreachable, and
-# tests assert the counter stays zero.
+# tests assert the counters stay zero. Two units, never mixed:
+# COUNT = number of overflow EVENTS (one per overflowing crop / one per
+# epoch on the device-augment path); PIXELS = total labelled pixels dropped.
 SPARSE_OVERFLOW_COUNT = 0
+SPARSE_OVERFLOW_PIXELS = 0
 
 
 def extract_sparse_labels(queries: np.ndarray, y: np.ndarray,
@@ -80,8 +83,9 @@ def extract_sparse_labels(queries: np.ndarray, y: np.ndarray,
     ys, xs = np.nonzero(queries)
     labels = y[ys, xs].astype(np.int32)
     if len(ys) > k_max:
-        global SPARSE_OVERFLOW_COUNT
+        global SPARSE_OVERFLOW_COUNT, SPARSE_OVERFLOW_PIXELS
         SPARSE_OVERFLOW_COUNT += 1
+        SPARSE_OVERFLOW_PIXELS += len(ys) - k_max
         import warnings
         warnings.warn(
             f"sparse-label overflow: {len(ys)} labelled pixels in crop but "
@@ -104,8 +108,9 @@ def extract_sparse_from_map(labelled_map: np.ndarray, ignore_index: int,
     (train.py:44-45)."""
     ys, xs = np.nonzero(labelled_map != ignore_index)
     if len(ys) > k_max:
-        global SPARSE_OVERFLOW_COUNT
+        global SPARSE_OVERFLOW_COUNT, SPARSE_OVERFLOW_PIXELS
         SPARSE_OVERFLOW_COUNT += 1
+        SPARSE_OVERFLOW_PIXELS += len(ys) - k_max
         import warnings
         warnings.warn(
             f"sparse-label overflow (human labels): {len(ys)} labelled "

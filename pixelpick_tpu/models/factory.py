@@ -12,6 +12,14 @@ def _dtype(args):
 
 def get_model(args):
     bn_groups = int(getattr(args, "bn_group_size", 0) or 0)
+    if getattr(args, "fused_ir", False) and jax.device_count() > 1:
+        # a pallas_call inside a sharded jit has no partitioning rule —
+        # under a multi-device mesh it fails to compile or silently
+        # replicates; --fused_ir is a single-device experiment by design
+        raise ValueError(
+            "--fused_ir is single-device only (documented experiment, "
+            f"PERF.md): {jax.device_count()} devices visible. Drop the "
+            "flag or run on one chip.")
     if args.network_name == "deeplab":
         from pixelpick_tpu.models.deeplab import DeepLab
         return DeepLab(

@@ -103,10 +103,13 @@ def test_two_x_upscale_keeps_every_labelled_pixel():
 
     # and the old budget (no headroom) would have overflowed -> warns + counts
     import warnings as _w
+    before_px = base_mod.SPARSE_OVERFLOW_PIXELS
     with _w.catch_warnings():
         _w.simplefilter("ignore")
         extract_sparse_labels(q_out, y_out, 11, n_px)
+    # event count +1, pixel count += dropped (two units, never mixed)
     assert base_mod.SPARSE_OVERFLOW_COUNT == before + 1
+    assert base_mod.SPARSE_OVERFLOW_PIXELS == before_px + (n_in_crop - n_px)
 
 
 def test_dataset_k_max_carries_scale_headroom(tmp_path):
@@ -150,7 +153,10 @@ def test_cityscapes_lut_matches_reference_table():
 
 
 def test_loader_drop_last_quirk(tmp_path):
-    """drop_last only when remainder == 1 (reference utils/utils.py:107)."""
+    """drop_last only when remainder == 1 AND only for train modes
+    (reference utils/utils.py:107 scoped per data/loader.py docstring:
+    the reference always builds val/query loaders at batch size 1 where
+    the rule can never fire, so no val/pool image is ever dropped)."""
     from pixelpick_tpu.data.loader import Loader
 
     class FakeDS:
@@ -163,14 +169,25 @@ def test_loader_drop_last_quirk(tmp_path):
         def val_sample(self, i):
             return {"x": np.full((2, 2), i, np.int32)}
 
+        def train_sample(self, i, epoch, human_labels=False):
+            return {"x": np.full((2, 2), i, np.int32)}
+
+    # val: remainder-1 must NOT drop — every image reaches the metrics
     ld = Loader(FakeDS(9), batch_size=4, mode="val")
-    assert ld.drop_last and len(ld) == 2
-    sizes = [b["x"].shape[0] for b in ld]
-    assert sizes == [4, 4]
+    assert not ld.drop_last and len(ld) == 3
+    assert [b["x"].shape[0] for b in ld] == [4, 4, 1]
 
     ld2 = Loader(FakeDS(10), batch_size=4, mode="val")
     assert not ld2.drop_last and len(ld2) == 3
     assert [b["x"].shape[0] for b in ld2] == [4, 4, 2]
+
+    # train: the reference quirk applies — remainder of exactly 1 drops
+    ld3 = Loader(FakeDS(9), batch_size=4, mode="train")
+    assert ld3.drop_last and len(ld3) == 2
+    assert [b["x"].shape[0] for b in ld3] == [4, 4]
+
+    ld4 = Loader(FakeDS(10), batch_size=4, mode="train")
+    assert not ld4.drop_last and len(ld4) == 3
 
 
 def test_loader_shuffle_is_deterministic_per_epoch():

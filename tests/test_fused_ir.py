@@ -107,6 +107,22 @@ def test_unfused_inline_path_exact(stride, t):
         assert float(jnp.abs(a - b).max()) == 0.0
 
 
+def test_factory_rejects_fused_ir_on_multi_device_mesh():
+    """--fused_ir is single-device only: pallas_call has no partitioning
+    rule inside a sharded jit. The factory must refuse it under the
+    8-virtual-device test backend (ADVICE r4)."""
+    from types import SimpleNamespace
+    import pytest
+    from pixelpick_tpu.models.factory import get_model
+
+    args = SimpleNamespace(network_name="deeplab", n_classes=11,
+                           width_multiplier=1.0, use_mc_dropout=False,
+                           mc_dropout_p=0.5, fused_ir=True)
+    assert jax.device_count() > 1  # conftest forces 8 virtual devices
+    with pytest.raises(ValueError, match="single-device"):
+        get_model(args)
+
+
 def test_mobilenet_fused_flag_matches():
     """MobileNetV2(fused_ir=True) has the identical variable tree and the
     same train-mode output within bf16-ish tolerance (f32 here)."""
