@@ -121,12 +121,13 @@ def _pool_batch(rng, B, hw, n_classes, device=True):
 
 
 def _measure_round(args, model, params, batch_stats, *, train_B, pool_B,
-                   hw, dense, device_batches):
+                   hw, dense, device_batches, micro_bs: int = 0):
     import jax
 
     from pixelpick_tpu.engine.optim import make_optimizer
     from pixelpick_tpu.engine.trainer import (
-        create_train_state, make_dense_train_step, make_train_step,
+        create_train_state, make_dense_train_step, make_microbatch_train_step,
+        make_train_step,
     )
     from pixelpick_tpu.active.acquisition import make_score_fn
 
@@ -134,7 +135,8 @@ def _measure_round(args, model, params, batch_stats, *, train_B, pool_B,
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    tx = make_optimizer(args, params, iters_per_epoch=N_TRAIN // train_B)
+    updates_per_epoch = N_TRAIN // (micro_bs or train_B)
+    tx = make_optimizer(args, params, iters_per_epoch=updates_per_epoch)
     # deep-copied state: the production path donates the state buffers
     # (driver default), which must not alias the params the scoring phase
     # reads afterwards
@@ -147,6 +149,13 @@ def _measure_round(args, model, params, batch_stats, *, train_B, pool_B,
                                      mean=args.mean, std=args.std, donate=True)
         batch = _pool_batch(rng, train_B, hw, args.n_classes, device_batches)
         batch = {"x": batch["x"], "y": batch["y"]}
+    elif micro_bs:
+        # megabatch scan: train_B // micro_bs sequential reference-schedule
+        # updates per dispatch (engine/trainer.py:make_microbatch_train_step)
+        step = make_microbatch_train_step(
+            model, tx, micro_bs=micro_bs, n_classes=args.n_classes,
+            mean=args.mean, std=args.std, donate=True)
+        batch = _train_batch(rng, train_B, hw, args.n_classes, device_batches)
     else:
         step = make_train_step(model, tx, n_classes=args.n_classes,
                                mean=args.mean, std=args.std, donate=True)
@@ -250,6 +259,7 @@ def main():
     }
 
     if args_cli.parity:
+        # (1) literal per-dispatch bs4 (the reference's execution shape)
         argsp, modelp, paramsp, statsp = _setup("f32", hw)
         v_p, t_p, q_p = _measure_round(argsp, modelp, paramsp, statsp,
                                        train_B=4, pool_B=8, hw=hw,
@@ -258,6 +268,35 @@ def main():
             "round_imgs_per_sec": round(v_p, 2),
             "train_imgs_per_sec": round(t_p, 2),
             "query_imgs_per_sec": round(q_p, 2),
+        }
+        # (2) trajectory-exact megabatch: twelve sequential bs-4 updates in
+        # ONE dispatch (lax.scan; --micro_batch_size 4) — the SAME reference
+        # schedule (update count/order/BN moments/LR stepping, proven
+        # bit-equal in tests/test_train_step.py) with the per-update
+        # dispatch overhead amortised. THE parity-seeking user's config.
+        v_m, t_m, q_m = _measure_round(argsp, modelp, paramsp, statsp,
+                                       train_B=48, pool_B=32, hw=hw,
+                                       dense=False, device_batches=True,
+                                       micro_bs=4)
+        result["detail"]["parity_trajectory"] = {
+            "precision": "f32", "megabatch": 48, "micro_batch_size": 4,
+            "round_imgs_per_sec": round(v_m, 2),
+            "train_imgs_per_sec": round(t_m, 2),
+            "query_imgs_per_sec": round(q_m, 2),
+        }
+        # (3) the same schedule in bf16 compute (trajectory validated on
+        # the bs-equivalence harness, scripts/bs_equivalence.py arm
+        # bs48_micro4_bf16 — see PARITY.md)
+        argsb16, modelb16, paramsb16, statsb16 = _setup("bf16", hw)
+        v_mb, t_mb, q_mb = _measure_round(argsb16, modelb16, paramsb16,
+                                          statsb16, train_B=48, pool_B=32,
+                                          hw=hw, dense=False,
+                                          device_batches=True, micro_bs=4)
+        result["detail"]["parity_trajectory_bf16"] = {
+            "precision": "bf16", "megabatch": 48, "micro_batch_size": 4,
+            "round_imgs_per_sec": round(v_mb, 2),
+            "train_imgs_per_sec": round(t_mb, 2),
+            "query_imgs_per_sec": round(q_mb, 2),
         }
 
     if not args_cli.fast:

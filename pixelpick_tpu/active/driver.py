@@ -28,11 +28,13 @@ from pixelpick_tpu.engine.checkpoint import save_checkpoint
 from pixelpick_tpu.engine.optim import make_optimizer
 from pixelpick_tpu.engine.trainer import (
     TrainState, create_train_state, make_dense_train_step, make_eval_step,
-    make_train_step,
+    make_microbatch_train_step, make_train_step,
 )
 from pixelpick_tpu.models import get_model, init_model
 from pixelpick_tpu.parallel.distributed import LockstepJit, is_primary
-from pixelpick_tpu.parallel.mesh import shard_batch, get_mesh
+from pixelpick_tpu.parallel.mesh import (
+    get_mesh, pad_batch_to_devices, shard_batch,
+)
 from pixelpick_tpu.utils.logging import write_log
 from pixelpick_tpu.utils.metrics import AverageMeter, RunningScore
 from pixelpick_tpu.utils.profiling import PhaseTimer, trace
@@ -40,7 +42,14 @@ from pixelpick_tpu.utils.visualiser import Visualiser, render_vis_panels
 
 
 class ALModel:
-    def __init__(self, args, human_labels: bool = False):
+    def __init__(self, args, human_labels: bool = False,
+                 human_inputs=None, human_maps=None):
+        """``human_inputs``/``human_maps``: the merged human-labelled image
+        paths and per-image label maps (cli/train.py resume path,
+        reference train.py:204-236) — wired through the constructor so the
+        dataset is re-pointed BEFORE loaders compute their batch plans
+        (post-hoc ``list_inputs`` mutation left drop-last/lengths stale and
+        the GT label list positionally misaligned)."""
         self.args = args
         self.debug = args.debug
         self.dir_checkpoints = args.dir_checkpoints
@@ -52,15 +61,23 @@ class ALModel:
         self.dataset = get_dataset(args, val=False, query=False)
         self.dataset_query = get_dataset(args, val=False, query=True,
                                          generate_init_queries=False)
-        self.dataset_query.queries = self.dataset.queries  # shared masks
-        self.dataset_query.n_pixels_total = self.dataset.n_pixels_total
+        if human_inputs is not None:
+            assert human_labels, "human_inputs requires human_labels=True"
+            self.dataset.set_human_inputs(human_inputs, human_maps)
+            self.dataset_query.set_human_inputs(human_inputs, human_maps)
+        else:
+            self.dataset_query.queries = self.dataset.queries  # shared masks
+            self.dataset_query.n_pixels_total = self.dataset.n_pixels_total
         self.dataset_val = get_dataset(args, val=True, query=False)
 
         fully_sup = args.n_pixels_by_us == 0
+        self.mesh = get_mesh(args)
         self.loader = Loader(self.dataset, args.batch_size,
                              mode="train_dense" if fully_sup else "train",
                              shuffle=True, n_workers=args.n_workers,
-                             seed=args.seed, human_labels=human_labels)
+                             seed=args.seed, human_labels=human_labels,
+                             drop_unit=None if fully_sup
+                             else (self._micro_bs() or None))
         # variable-size datasets (VOC): bucket val/query shapes so the whole
         # sweep compiles ≤2 XLA programs per loader instead of one per image
         # shape (SURVEY §7 hard-part 5)
@@ -73,19 +90,36 @@ class ALModel:
                                    bucket_stride=bucket,
                                    pad_label=args.ignore_index)
         val_bs = getattr(args, "val_batch_size", 1)
+        if self.mesh is not None:
+            # TPU-first default, same rule as the standalone eval CLI
+            # (cli/eval.py): round the per-epoch validation batch up to a
+            # device multiple so it shards instead of running 50x per round
+            # replicated at the configured (default 1) batch size; metrics
+            # are unchanged — the confusion matrix is additive over images
+            # and remainder batches are padded with ignore-labelled rows
+            # (parallel/mesh.py:pad_batch_to_devices)
+            val_bs = -(-val_bs // self.mesh.devices.size) \
+                * self.mesh.devices.size
         self.loader_val = Loader(self.dataset_val, val_bs, mode="val",
                                  shuffle=False, n_workers=args.n_workers,
                                  bucket_stride=bucket,
                                  pad_label=args.ignore_index)
 
         self.model = get_model(args)
-        self.mesh = get_mesh(args)
         self.device_pipe = None
         if getattr(args, "device_augment", False) and not fully_sup \
                 and not human_labels:
             from pixelpick_tpu.data.device_pipeline import DevicePipeline
             self.device_pipe = DevicePipeline(self.dataset, args,
                                               mesh=self.mesh)
+            # megabatch scans need micro-multiple rows; the pipeline pads
+            # remainder batches on device (sample_batch n_real masking).
+            # Device padding only when full batches shard — same rule as
+            # _train_pad_multiple (BN-moment preservation for bs<devices)
+            self.device_pipe.pad_multiple = self._micro_bs() or 1
+            self.device_pipe.pad_to_devices = (
+                self.mesh is not None
+                and args.batch_size % self.mesh.devices.size == 0)
         self.vis = Visualiser(args.dataset_name)
         self.query_selector = QuerySelector(args, self.loader_query,
                                             self.model, mesh=self.mesh)
@@ -143,14 +177,30 @@ class ALModel:
             from pixelpick_tpu.models.convert import load_pretrained_ckpt
             params, batch_stats = load_pretrained_ckpt(
                 params, batch_stats, args.pretrained_ckpt)
-        tx = make_optimizer(args, params, iters_per_epoch=len(self.loader))
+        fully_sup = args.n_pixels_by_us == 0
+        micro = 0 if fully_sup else self._micro_bs()
+        # LR schedules step per OPTIMIZER update: with microbatching each
+        # loader batch carries ceil(rows/micro) updates, which lands the
+        # Poly/MultiStep iteration count exactly on the reference's bs-4
+        # step count (e.g. CamVid 367 @ bs48/micro4: 7x12 + 8 = 92 =
+        # ceil(367/4) steps/epoch)
+        if micro:
+            sizes = [len(ix) for ix in self.loader.batch_index_plan(0)]
+            iters_per_epoch = sum(-(-s // micro) for s in sizes)
+        else:
+            iters_per_epoch = len(self.loader)
+        tx = make_optimizer(args, params, iters_per_epoch=iters_per_epoch)
         state = create_train_state(params, batch_stats, tx)
 
-        fully_sup = args.n_pixels_by_us == 0
         if fully_sup:
             step_fn = make_dense_train_step(
                 self.model, tx, n_classes=args.n_classes,
                 ignore_index=args.ignore_index, mean=args.mean, std=args.std)
+        elif micro:
+            step_fn = make_microbatch_train_step(
+                self.model, tx, micro_bs=micro, n_classes=args.n_classes,
+                mean=args.mean, std=args.std,
+                normalize=self.device_pipe is None)
         else:
             step_fn = make_train_step(
                 self.model, tx, n_classes=args.n_classes,
@@ -215,16 +265,28 @@ class ALModel:
         last_batch = None
         losses = []
         overflows = []
+        pad_mult = self._train_pad_multiple()
         for batch in self._epoch_batches(epoch, rng):
-            batch = shard_batch(batch, self.mesh) \
-                if self.device_pipe is None else batch
+            if self.device_pipe is None:
+                # remainder batches (e.g. CamVid 367 % 48 = 31) pad to a
+                # device multiple with valid=False rows so they shard
+                # instead of replicating — loss and hist are mask-inert
+                # (mesh.py:pad_batch_to_devices); with --micro_batch_size
+                # the target is also a micro multiple so the scan reshapes
+                b = batch["x"].shape[0]
+                batch, n_real = pad_batch_to_devices(
+                    batch, self.mesh, pad_label=self.args.ignore_index,
+                    target_rows=-(-b // pad_mult) * pad_mult)
+                batch = shard_batch(batch, self.mesh)
+            else:
+                n_real = batch.pop("n_real", batch["x"].shape[0])
             over = batch.pop("overflow", None)
             if over is not None:
                 overflows.append(over)
             state, loss, hist = step_fn(state, batch, rng)
             score.merge(hist)
             losses.append(loss)
-            n_imgs += batch["x"].shape[0]
+            n_imgs += n_real
             last_batch = batch
             if self.debug:
                 break
@@ -234,8 +296,17 @@ class ALModel:
         # MEAN, matching the reference's per-iter running_loss.avg
         # (model.py:126,147) without mid-epoch host syncs
         if losses:
-            for loss in np.asarray(jnp.stack(losses)):
-                self.running_loss.update(float(loss))
+            # entries are scalars (one update/batch) or (n_micro,) vectors
+            # (megabatch scan steps) — batch shapes can differ (remainder),
+            # so stack per shape group: still <=2 host fetches per epoch,
+            # and the epoch MEAN weights every optimizer update equally
+            # (the per-iter semantics of the reference's running loss)
+            groups = {}
+            for loss in losses:
+                groups.setdefault(getattr(loss, "shape", ()), []).append(loss)
+            for group in groups.values():
+                for v in np.asarray(jnp.stack(group)).ravel():
+                    self.running_loss.update(float(v))
         if overflows:
             # device-path analogue of the host extractor's overflow warning
             # (data/base.py:SPARSE_OVERFLOW_COUNT): labelled pixels beyond
@@ -261,6 +332,32 @@ class ALModel:
             write_log(self.log_train, list_entities=[
                 epoch, miou, pixel_acc, self.running_loss.avg])
         return state, last_batch
+
+    def _micro_bs(self) -> int:
+        """--micro_batch_size (0 = one update per batch)."""
+        return int(getattr(self.args, "micro_batch_size", 0) or 0)
+
+    def _train_pad_multiple(self) -> int:
+        """Remainder train batches pad to a multiple of lcm(devices,
+        micro_batch_size) so they both shard and reshape into the scan.
+
+        Device padding applies ONLY when the loader's full batches shard
+        (batch_size % n_devices == 0): then the only padded batch is the
+        true remainder (e.g. CamVid 367 % 48 = 31 -> one dup row in 32).
+        When batch_size itself doesn't divide the mesh (bs4 on 8 chips),
+        padding EVERY batch with duplicates would distort its BN moments —
+        those batches keep the replicated fallback instead (the reference
+        semantics; the pre-padding behavior)."""
+        import math
+
+        n = 1
+        if self.mesh is not None \
+                and self.args.batch_size % self.mesh.devices.size == 0:
+            n = self.mesh.devices.size
+        m = self._micro_bs()
+        if m:
+            n = n * m // math.gcd(n, m)
+        return n
 
     def _epoch_batches(self, epoch: int, rng):
         """Host loader batches, or device-pipeline batches (index-only host
@@ -292,7 +389,13 @@ class ALModel:
                 # variable-size datasets (VOC) always get a bucketed val
                 # loader here (driver __init__), so every batch takes the
                 # branch above; the per-batch _pad_to_stride path serves
-                # externally-built loaders in cli/eval.py only
+                # externally-built loaders in cli/eval.py only.
+                # Remainder batches pad to the FULL batch size with
+                # ignore-labelled rows: they shard AND the whole epoch
+                # reuses one compiled eval program
+                batch, _ = pad_batch_to_devices(
+                    batch, self.mesh, pad_label=self.args.ignore_index,
+                    target_rows=self.loader_val.batch_size)
                 batch = shard_batch(batch, self.mesh)
                 hist, pred, vis = eval_fn(state.params, state.batch_stats,
                                           batch)

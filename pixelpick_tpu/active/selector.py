@@ -21,7 +21,9 @@ from pixelpick_tpu.active import codec
 from pixelpick_tpu.active.acquisition import make_score_fn
 from pixelpick_tpu.active.stats import QueryStats
 from pixelpick_tpu.parallel.distributed import LockstepJit, is_primary
-from pixelpick_tpu.parallel.mesh import shard_batch, shard_batch_spatial
+from pixelpick_tpu.parallel.mesh import (
+    pad_batch_to_devices, shard_batch, shard_batch_spatial,
+)
 
 
 class QuerySelector:
@@ -69,6 +71,20 @@ class QuerySelector:
         ds = self.loader.dataset
         for batch in self.loader:
             rng, sub = jax.random.split(rng)
+            if "index" not in batch:
+                # fixed-size loaders yield in dataset order — materialise
+                # the identity so remainder padding below can mark its
+                # duplicate rows with -1 (the bucketed-loader convention)
+                batch["index"] = np.arange(
+                    sample_idx, sample_idx + batch["x"].shape[0],
+                    dtype=np.int32)
+            # remainder pool batches pad to the FULL batch size with
+            # excluded=True duplicate rows (index=-1, skipped below): the
+            # sweep shards every batch AND compiles exactly one program
+            # per bucket (a second remainder-shape compile costs 1-5 min
+            # on the tunnelled TPU stack)
+            batch, n_real = pad_batch_to_devices(
+                batch, self.mesh, target_rows=self.loader.batch_size)
             # "hw" (per-image true sizes) rides into the kernel: candidate-
             # pool size is computed from the true area and bucket padding is
             # never pickable (reference query.py:36 uses the true h*w)
@@ -88,11 +104,9 @@ class QuerySelector:
             bsz = indices.shape[0]
             valid_rows = []
             for b in range(bsz):
-                # bucketed loaders carry dataset indices (-1 = batch-fill
-                # duplicate) and per-image true sizes; fixed-size loaders
-                # yield in dataset order
-                i = int(batch["index"][b]) if "index" in batch \
-                    else sample_idx + b
+                # every batch carries dataset indices here (-1 = batch-fill
+                # or remainder-pad duplicate, skipped)
+                i = int(batch["index"][b])
                 if i < 0:
                     continue
                 valid_rows.append(b)
@@ -111,7 +125,7 @@ class QuerySelector:
                     dev_stats = {k: np.asarray(v)[valid_rows]
                                  for k, v in dev_stats.items()}
                 stats.update_batch(dev_stats)
-            sample_idx += bsz
+            sample_idx += n_real
 
         assert len(dict_queries) > 0, "no queries are chosen!"
         if not human_labels:

@@ -25,7 +25,9 @@ from pixelpick_tpu.engine.checkpoint import load_checkpoint
 from pixelpick_tpu.engine.trainer import make_eval_step
 from pixelpick_tpu.models import get_model, init_model
 from pixelpick_tpu.parallel.distributed import is_primary
-from pixelpick_tpu.parallel.mesh import get_mesh, shard_batch
+from pixelpick_tpu.parallel.mesh import (
+    get_mesh, pad_batch_to_devices, shard_batch,
+)
 from pixelpick_tpu.utils.metrics import RunningScore
 from pixelpick_tpu.utils.logging import write_log
 from pixelpick_tpu.active.driver import _pad_to_stride
@@ -110,12 +112,21 @@ def evaluate(args, params, batch_stats, loader=None, debug: bool = False,
             hist, pred, vis = eval_fn(params, batch_stats, feed,
                                       vis_index=vis_index)
         elif args.dataset_name == "voc":
-            batch, valid_hw = _pad_to_stride(batch, args.stride_total)
-            feed = shard_batch(batch, mesh)
+            padded, valid_hw = _pad_to_stride(batch, args.stride_total)
+            # remainder batches pad to the full batch size with ignore-
+            # labelled duplicate rows: sharded spec + one compiled program
+            # for the whole sweep (mesh.py:pad_batch_to_devices)
+            feed, _ = pad_batch_to_devices(padded, mesh,
+                                           pad_label=args.ignore_index,
+                                           target_rows=loader.batch_size)
+            feed = shard_batch(feed, mesh)
             hist, pred, vis = eval_fn(params, batch_stats, feed,
                                       valid_hw=valid_hw, vis_index=vis_index)
         else:
-            feed = shard_batch(batch, mesh)
+            feed, _ = pad_batch_to_devices(batch, mesh,
+                                           pad_label=args.ignore_index,
+                                           target_rows=loader.batch_size)
+            feed = shard_batch(feed, mesh)
             hist, pred, vis = eval_fn(params, batch_stats, feed,
                                       vis_index=vis_index)
         score.merge(hist)

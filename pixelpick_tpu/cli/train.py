@@ -33,10 +33,12 @@ def main():
         human = True
         args.nth_query = len(prev_files) - 1
 
-    model = ALModel(args, human_labels=human)
+    # merged inputs/maps go through the constructor (data/base.py:
+    # set_human_inputs) so loader batch plans see the merged length and no
+    # GT-side list can be read positionally misaligned
+    model = ALModel(args, human_labels=human,
+                    human_inputs=merged_inputs, human_maps=merged_maps)
     if human:
-        model.dataset.list_inputs = merged_inputs
-        model.dataset.update_labelled_queries(merged_maps)
         model.nth_query = args.nth_query
         model._run_stage(f"{args.nth_query}_query")
     else:

@@ -126,6 +126,16 @@ def build_parser() -> ArgumentParser:
                         help="images per device step during pool scoring "
                              "(reference uses batch-size 1, query.py:159); "
                              "32 matches the benchmarked production config")
+    parser.add_argument("--micro_batch_size", type=int, default=0,
+                        help="execute each train batch as SEQUENTIAL "
+                             "optimizer updates of this size inside one "
+                             "jitted dispatch (lax.scan megabatch, "
+                             "engine/trainer.py:make_microbatch_train_step)."
+                             " --batch_size 48 --micro_batch_size 4 runs the"
+                             " reference's exact bs-4 schedule (12 Adam "
+                             "updates + bs-4 BN moments per dispatch) while "
+                             "amortizing per-step dispatch overhead. 0 = "
+                             "one update per batch (default)")
     parser.add_argument("--prng", type=str, default="auto",
                         choices=["auto", "threefry", "rbg"],
                         help="jax PRNG implementation for in-model "

@@ -185,6 +185,32 @@ class SegDatasetBase:
     def update_labelled_queries(self, labelled_queries: List[np.ndarray]) -> None:
         self.list_labelled_queries = labelled_queries
 
+    def set_human_inputs(self, inputs: List[str],
+                         labelled_maps: List[np.ndarray]) -> None:
+        """Re-wire the dataset onto the merged human-labelled inputs
+        (reference ``train.py:204-236``) — constructor-level: ALModel calls
+        this BEFORE building loaders, so batch plans/drop-last are computed
+        from the merged length, and the GT-side lists can never be read
+        positionally misaligned (human mode consumes only the labelled
+        maps; ``train_sample`` builds a void y without touching label
+        files, so a train split with fewer/no label files is fine)."""
+        assert len(inputs) == len(labelled_maps), \
+            f"{len(inputs)} inputs != {len(labelled_maps)} labelled maps"
+        for p, m in zip(inputs, labelled_maps):
+            assert os.path.exists(p), p
+            assert m.ndim == 2, (p, m.shape)
+        self.list_inputs = list(inputs)
+        # GT labels are not consumed in human mode — clear the (now
+        # positionally meaningless) label list so any stray _load_y is a
+        # loud failure instead of a silent wrong-file read
+        self.list_labels = []
+        if hasattr(self, "has_labels"):
+            self.has_labels = False
+        self.queries = None
+        self._x_cache.clear()
+        self._y_cache.clear()
+        self.update_labelled_queries(list(labelled_maps))
+
     def generate_init_queries(self, n_pixels_per_img: int,
                               path_queries: str,
                               void_filter: bool = True) -> None:
@@ -262,8 +288,17 @@ class SegDatasetBase:
         from pixelpick_tpu.data.augment import geometric_augment, photometric_augment
 
         rng = self.sample_rng(epoch, i)
-        x = Image.fromarray(self._load_x(i))
-        y = Image.fromarray(self._load_y(i).astype(np.int32), mode="I")
+        x_arr = self._load_x(i)
+        x = Image.fromarray(x_arr)
+        if human_labels:
+            # human mode trains on the merged labelled maps only
+            # (train.py:44-45) — never read a GT label file (the label list
+            # may be empty or shorter than the merged inputs); the augment
+            # pipeline still needs a y to co-transform, so feed all-void
+            y_arr = np.full(x_arr.shape[:2], self.ignore_index, np.int32)
+        else:
+            y_arr = self._load_y(i).astype(np.int32)
+        y = Image.fromarray(y_arr, mode="I")
         queries = None if (fully_sup or human_labels) else self.queries[i]
         labelled = self.list_labelled_queries[i] if human_labels else None
 

@@ -297,6 +297,13 @@ class DevicePipeline:
 
     def __init__(self, dataset, args, k_max: int | None = None, mesh=None):
         self.mesh = mesh
+        # remainder batches pad to a multiple of lcm(pad_multiple, devices);
+        # the driver sets pad_multiple to --micro_batch_size for megabatch
+        # scans and pad_to_devices to (batch_size % n_devices == 0) — device
+        # padding only when full batches shard, so bs<devices configs keep
+        # their exact BN moments (see active/driver.py:_train_pad_multiple)
+        self.pad_multiple = 1
+        self.pad_to_devices = True
         n = len(dataset)
         self.variable_size = bool(getattr(dataset, "variable_size", False))
         # staging reads every image exactly once — don't let those reads
@@ -340,7 +347,8 @@ class DevicePipeline:
                 qa, ya, ignore, k_m)
             return xn, coords, labels, valid, over
 
-        def batch_impl(images, labels_, queries, indices, rng, hws=None):
+        def batch_impl(images, labels_, queries, indices, rng, n_real,
+                       hws=None):
             keys = jax.random.split(rng, indices.shape[0])
             xb = images[indices]
             yb = labels_[indices]
@@ -351,9 +359,15 @@ class DevicePipeline:
             else:
                 xn, coords, lab, valid, over = jax.vmap(one)(
                     xb, yb, qb, hws[indices], keys)
+            # remainder batches arrive padded to a device multiple with
+            # duplicate indices (sample_batch): mask those rows out of the
+            # loss/metrics (valid) and the overflow drain — n_real is a
+            # traced scalar, so no recompile across remainder sizes
+            rows = jnp.arange(indices.shape[0]) < n_real
+            valid = valid & rows[:, None]
             # scalar (replicated) so the per-epoch drain costs one fetch
             return {"x": xn, "coords": coords, "labels": lab, "valid": valid,
-                    "overflow": over.sum()}
+                    "overflow": (over * rows).sum()}
 
         self._batch_fn = jax.jit(batch_impl)
         self._batch_fn_sharded = None
@@ -422,15 +436,35 @@ class DevicePipeline:
 
     def sample_batch(self, indices: np.ndarray, rng) -> dict:
         assert self.queries is not None, "call set_queries() first"
+        indices = np.asarray(indices, np.int32)
+        n_real = len(indices)
+        # pad remainder batches to a multiple of lcm(devices, pad_multiple)
+        # with duplicate indices so they keep the sharded batch program
+        # and reshape into megabatch scans; batch_impl masks the pad rows
+        # out of valid/overflow via n_real. The duplicate rows' only
+        # residue is BN statistics — an improvement over the whole-
+        # remainder fallback moments (see mesh.py:pad_batch_to_devices)
+        import math
+
+        mult = self.pad_multiple
+        if self.mesh is not None and self.pad_to_devices:
+            n_dev = self.mesh.devices.size
+            mult = mult * n_dev // math.gcd(mult, n_dev)
+        if mult > 1:
+            target = -(-n_real // mult) * mult
+            if target != n_real:
+                indices = np.concatenate(
+                    [indices, np.repeat(indices[-1:], target - n_real)])
         fn = self._batch_fn
         n_proc = jax.process_count()
         if self._batch_fn_sharded is not None \
                 and len(indices) % self.mesh.devices.size == 0 \
                 and len(indices) % n_proc == 0:
-            fn = self._batch_fn_sharded  # remainder batches stay unsharded
+            fn = self._batch_fn_sharded
         if n_proc > 1:
             # the key was folded on this process's default device; pass it
             # as a host value so it enters the global program replicated
             rng = np.asarray(rng)
-        return fn(self.images, self.labels, self.queries,
-                  np.asarray(indices, np.int32), rng, hws=self.hw)
+        batch = fn(self.images, self.labels, self.queries,
+                   indices, rng, n_real, hws=self.hw)
+        return dict(batch, n_real=n_real)

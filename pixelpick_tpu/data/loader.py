@@ -62,7 +62,8 @@ class Loader:
     def __init__(self, dataset, batch_size: int, mode: str = "train",
                  shuffle: bool = False, n_workers: int = 4, seed: int = 0,
                  human_labels: bool = False, prefetch: int = 2,
-                 bucket_stride: int = None, pad_label: int = 255):
+                 bucket_stride: int = None, pad_label: int = 255,
+                 drop_unit: int = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.mode = mode
@@ -73,12 +74,18 @@ class Loader:
         self.prefetch = prefetch
         self.bucket_stride = bucket_stride
         self.pad_label = pad_label
+        # drop_unit: batch size the reference drop-last rule is evaluated
+        # at. Megabatch training (--micro_batch_size M at a larger
+        # --batch_size) passes M so the dropped-image set matches the
+        # reference's bs-M schedule exactly (remainder-1 AT THE UPDATE
+        # size drops the final shuffled image).
+        self.drop_unit = drop_unit or batch_size
         self._buckets = None  # lazy: [(bucket_hw, [indices...]), ...]
         self.epoch = 0
         n = len(dataset)
         # utils/utils.py:107, train-only (see module docstring)
         self.drop_last = (mode in ("train", "train_dense")
-                          and (n % batch_size) == 1)
+                          and (n % self.drop_unit) == 1)
         # separate pools: orchestrators must never wait on tasks queued in
         # their own pool (deadlocks when n_workers is small)
         self._pool = ThreadPoolExecutor(max_workers=self.n_workers)
@@ -105,9 +112,8 @@ class Loader:
         if self.bucket_stride is not None:
             return sum(-(-len(idxs) // self.batch_size)
                        for _, idxs in self._bucket_plan())
-        n = len(self.dataset)
-        full, rem = divmod(n, self.batch_size)
-        return full + (0 if (self.drop_last or rem == 0) else 1)
+        n = len(self.dataset) - (1 if self.drop_last else 0)
+        return -(-n // self.batch_size)
 
     def _bucket_plan(self):
         """Group dataset indices into ≤2 shape buckets (landscape/portrait),
@@ -144,11 +150,15 @@ class Loader:
         order = np.arange(n)
         if self.shuffle:
             np.random.RandomState(self.seed * 100003 + epoch).shuffle(order)
-        batches = [order[i:i + self.batch_size]
-                   for i in range(0, n, self.batch_size)]
-        if batches and len(batches[-1]) != self.batch_size and self.drop_last:
-            batches.pop()
-        return batches
+        if self.drop_last:
+            # remainder-1 at drop_unit granularity: the rule only ever
+            # fires for a single trailing image (see __init__), so dropping
+            # the last SHUFFLED image is exactly the reference's dropped
+            # batch — and stays correct when drop_unit < batch_size
+            # (megabatch schedules)
+            order = order[:-1]
+        return [order[i:i + self.batch_size]
+                for i in range(0, len(order), self.batch_size)]
 
     def _fetch(self, i: int) -> dict:
         if self.mode == "train":

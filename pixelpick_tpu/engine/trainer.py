@@ -100,12 +100,10 @@ def sparse_ce_and_hist(logits_lr, coords, labels, valid, full_hw, n_classes,
     return loss, hist
 
 
-def make_train_step(model, tx, *, n_classes: int, mean, std,
-                    donate: bool = True, normalize: bool = True,
-                    gather_impl: str = "matmul") -> Callable:
-    """Sparse-label train step. batch keys: x (uint8 B,H,W,3 — or already
-    normalised f32 when ``normalize=False``, e.g. from the device pipeline),
-    coords (B,K,2), labels (B,K), valid (B,K)."""
+def _sparse_loss_fn(model, *, n_classes: int, mean, std,
+                    normalize: bool, gather_impl: str) -> Callable:
+    """The sparse-label loss closure shared by ``make_train_step`` and
+    ``make_microbatch_train_step``."""
 
     def loss_fn(params, batch_stats, batch, drop_rng):
         x = normalize_images(batch["x"], mean, std) if normalize \
@@ -121,7 +119,77 @@ def make_train_step(model, tx, *, n_classes: int, mean, std,
             full_hw, n_classes, gather_impl=gather_impl)
         return loss, (mutated["batch_stats"], hist)
 
+    return loss_fn
+
+
+def make_train_step(model, tx, *, n_classes: int, mean, std,
+                    donate: bool = True, normalize: bool = True,
+                    gather_impl: str = "matmul") -> Callable:
+    """Sparse-label train step. batch keys: x (uint8 B,H,W,3 — or already
+    normalised f32 when ``normalize=False``, e.g. from the device pipeline),
+    coords (B,K,2), labels (B,K), valid (B,K)."""
+    loss_fn = _sparse_loss_fn(model, n_classes=n_classes, mean=mean, std=std,
+                              normalize=normalize, gather_impl=gather_impl)
     return _jit_step(loss_fn, tx, donate)
+
+
+def make_microbatch_train_step(model, tx, *, micro_bs: int, n_classes: int,
+                               mean, std, donate: bool = True,
+                               normalize: bool = True,
+                               gather_impl: str = "matmul") -> Callable:
+    """Megabatch scan-of-microbatches train step — ONE jitted dispatch that
+    executes ``B // micro_bs`` SEQUENTIAL bs-``micro_bs`` optimizer updates
+    over a device-resident megabatch via ``lax.scan``.
+
+    This is mathematically the exact reference training schedule
+    (``model.py:93-126`` at ``batch_size=4``): same update count, same
+    sample order (the loader's shuffled epoch partitions at the same
+    micro boundaries — 48 = 12 x 4), same per-update BatchNorm moments
+    (each microbatch computes its own batch statistics, i.e. plain bs-4
+    BN), same Adam/Poly-LR per-iteration stepping (the optimizer state
+    advances once per microbatch inside the scan). What changes is purely
+    the execution shape: the per-update Python dispatch and host-device
+    round-trip of the tunnelled TPU stack are amortised over ``n_micro``
+    updates, and the megabatch's images upload once. Bit-equality with
+    ``n_micro`` separate ``make_train_step`` calls is asserted in
+    ``tests/test_train_step.py``.
+
+    The batch's leading dim must be a ``micro_bs`` multiple; remainder
+    megabatches are padded with ``valid=False`` duplicate rows by the
+    caller (``parallel/mesh.py:pad_batch_to_devices``) — the one deviation:
+    pad rows join the FINAL microbatch's BN moments (the reference's last
+    ragged batch computes moments over its true rows only).
+
+    Returns ``(state, losses, hist)`` with ``losses`` of shape
+    ``(n_micro,)`` (one per update — the epoch-mean log weights each
+    update equally, exactly the reference's per-iter running loss) and
+    ``hist`` the summed confusion matrix.
+    """
+    loss_fn = _sparse_loss_fn(model, n_classes=n_classes, mean=mean, std=std,
+                              normalize=normalize, gather_impl=gather_impl)
+
+    def train_step(state: TrainState, batch, rng):
+        b = next(iter(batch.values())).shape[0]
+        assert b % micro_bs == 0, (b, micro_bs)
+        n_micro = b // micro_bs
+        micro = jax.tree.map(
+            lambda v: v.reshape(n_micro, micro_bs, *v.shape[1:]), batch)
+
+        def body(s, mb):
+            drop_rng = jax.random.fold_in(rng, s.step)
+            (loss, (new_stats, hist)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(s.params, s.batch_stats, mb, drop_rng)
+            updates, opt_state = tx.update(grads, s.opt_state, s.params)
+            params = optax.apply_updates(s.params, updates)
+            nxt = TrainState(params=params, batch_stats=new_stats,
+                             opt_state=opt_state, step=s.step + 1)
+            return nxt, (loss, hist)
+
+        state, (losses, hists) = jax.lax.scan(body, state, micro)
+        return state, losses, hists.sum(0)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
 def _jit_step(loss_fn, tx, donate: bool) -> Callable:

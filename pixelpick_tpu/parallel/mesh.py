@@ -67,6 +67,67 @@ def _put_global(x: np.ndarray, mesh: Mesh, spec: P):
     return jax.make_array_from_process_local_data(sharding, local, x.shape)
 
 
+def pad_batch_to_devices(batch: dict, mesh: Optional[Mesh],
+                         pad_label: Optional[int] = None,
+                         target_rows: Optional[int] = None):
+    """Pad a remainder batch with MASKED duplicate rows so it keeps the
+    ``P('data')`` sharded spec instead of falling back to replication
+    (``shard_batch``'s remainder rule) — e.g. CamVid 367 @ bs48 leaves a
+    31-image remainder that would otherwise run unsharded once per epoch
+    on a pod. Returns ``(padded_batch, n_real)``.
+
+    Pad rows duplicate the last real row, then every masking key is
+    overridden so they are inert end-to-end:
+
+    - ``valid``  -> False: the sparse train loss normalises by the global
+      valid count (engine/trainer.py:sparse_ce_and_hist) and the train
+      confusion matrix masks on it — pad rows contribute exactly nothing;
+    - ``y``      -> ``pad_label`` (ignore index): dense loss + eval
+      confusion matrix drop every pad pixel;
+    - ``excluded`` -> True: acquisition never picks a pad pixel;
+    - ``index``  -> -1: consumers that track per-image identity (selector,
+      batched eval) skip the row, same convention as the bucketed loader.
+
+    The one non-inert effect: BatchNorm batch statistics see the duplicate
+    image rows (one remainder batch per epoch). With ghost BN
+    (``--bn_group_size G``) this is an *improvement* — a 31-row batch
+    currently falls back to full-31 moments (models/layers.py ghost_bn_train
+    divisibility rule), while the padded 32-row batch computes 7 exact
+    reference-G groups and confines the duplicate to the last group.
+
+    ``target_rows``: pad to this exact size instead of the next device
+    multiple — val/query callers pad remainder batches to the full batch
+    size so the whole sweep reuses ONE compiled program (a second XLA
+    compile costs 1-5 min on the tunnelled TPU stack). Works with
+    ``mesh=None`` too (compile dedupe is worth it single-chip).
+    """
+    b = next(iter(batch.values())).shape[0]
+    if target_rows is not None:
+        target = target_rows
+    elif mesh is not None:
+        n = mesh.devices.size
+        target = -(-b // n) * n
+    else:
+        return batch, b
+    if target <= b:
+        return batch, b
+
+    pad = target - b
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+    if "valid" in out:
+        out["valid"][b:] = False
+    if "y" in out and pad_label is not None:
+        out["y"][b:] = pad_label
+    if "excluded" in out:
+        out["excluded"][b:] = True
+    if "index" in out:
+        out["index"][b:] = -1
+    return out, b
+
+
 def shard_batch(batch: dict, mesh: Optional[Mesh]) -> dict:
     """Shard every array on its leading (batch) axis; replicate if the batch
     doesn't divide the mesh (remainder batches)."""

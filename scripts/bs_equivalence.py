@@ -50,7 +50,7 @@ def _best_val_mious(args):
 
 
 def run_campaign(tmp, seed: int, batch_size: int, bn_group_size: int,
-                 lr_scale: float = 1.0):
+                 lr_scale: float = 1.0, **extra):
     from helpers import make_learnable_camvid, synthetic_args
 
     args = synthetic_args(
@@ -63,6 +63,7 @@ def run_campaign(tmp, seed: int, batch_size: int, bn_group_size: int,
         val_batch_size=4, pool_batch_size=8, seed=seed,
         optimizer_params={"lr": 2e-3 * lr_scale, "betas": (0.9, 0.999),
                           "weight_decay": 2e-4, "eps": 1e-7},
+        **extra,
     )
     from pixelpick_tpu.active.driver import ALModel
 
@@ -104,6 +105,16 @@ def main():
                                      lr_scale=12.0),
         "bs48_ghost_bn4_lr3.46x": dict(batch_size=48, bn_group_size=4,
                                        lr_scale=12.0 ** 0.5),
+        # megabatch scan of bs-4 updates (--micro_batch_size): the exact
+        # reference schedule in one dispatch — must sit ON the bs4 curve
+        # (update-for-update equality, tests/test_train_step.py)
+        "bs48_micro4_megabatch": dict(batch_size=48, bn_group_size=0,
+                                      micro_batch_size=4),
+        # the same schedule in bf16 compute: does bf16 stay in the bs4
+        # trajectory band? (gates bench.py's parity_trajectory_bf16)
+        "bs48_micro4_bf16": dict(batch_size=48, bn_group_size=0,
+                                 micro_batch_size=4, precision="bf16"),
+        "bs4_bf16": dict(batch_size=4, bn_group_size=0, precision="bf16"),
     }
     arms = {k: v for k, v in all_arms.items()
             if not cli.arms or k in cli.arms}

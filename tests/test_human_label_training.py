@@ -50,10 +50,14 @@ def test_train_on_merged_human_labels(tmp_path):
         n = int((m != args.ignore_index).sum())
         assert 4 <= n <= 8
 
-    model = ALModel(args, human_labels=True)
+    model = ALModel(args, human_labels=True,
+                    human_inputs=sorted(merged),
+                    human_maps=[merged[p] for p in sorted(merged)])
     model.dataset.crop_size = (48, 64)
-    model.dataset.list_inputs = sorted(merged)
-    model.dataset.update_labelled_queries([merged[p] for p in sorted(merged)])
+    # constructor-level wiring: GT label list cleared (human mode never
+    # reads label files), loaders already sized to the merged inputs
+    assert model.dataset.list_labels == []
+    assert len(model.loader.dataset) == len(merged)
     model.nth_query = 1
     model._run_stage("1_query")
 
@@ -62,6 +66,45 @@ def test_train_on_merged_human_labels(tmp_path):
     with open(f"{d}/log_train.txt") as f:
         rows = f.read().strip().splitlines()
     assert len(rows) == 2  # header + 1 epoch
+
+
+def test_human_labels_with_mismatched_label_files(tmp_path):
+    """Round-4 weak #6 closure: only a SUBSET of images got human labels —
+    merged inputs no longer positionally align with the dataset's label
+    files. The old post-construction ``list_inputs`` mutation silently read
+    wrong-positional GT files (and left stale loader plans); the
+    constructor path must train fine without touching any label file."""
+    args = synthetic_args(tmp_path, n_pixels_by_us=4, max_budget=4,
+                          n_epochs=1, batch_size=2)
+    from pixelpick_tpu.active.codec import (
+        gather_previous_query_files, merge_previous_query_files,
+    )
+    from pixelpick_tpu.active.driver import ALModel
+
+    rng = np.random.default_rng(1)
+    img_paths = sorted(
+        os.path.join(args.dir_dataset, "train", f)
+        for f in os.listdir(os.path.join(args.dir_dataset, "train")))
+    subset = img_paths[: len(img_paths) // 2 + 1]  # odd-sized subset
+    hl_dir = str(tmp_path / "human_ckpt")
+    _write_labelled_round(hl_dir, 0, subset, (48, 64), rng)
+
+    merged = merge_previous_query_files(
+        gather_previous_query_files(hl_dir),
+        ignore_index=args.ignore_index, verbose=False)
+    assert 0 < len(merged) < len(img_paths)
+
+    model = ALModel(args, human_labels=True,
+                    human_inputs=sorted(merged),
+                    human_maps=[merged[p] for p in sorted(merged)])
+    model.dataset.crop_size = (48, 64)
+    assert len(model.loader.dataset) == len(merged)
+    # loader drop-last/batch plans were computed from the merged length
+    assert len(model.loader) == -(-len(merged) // args.batch_size) - (
+        1 if len(merged) % args.batch_size == 1 else 0)
+    model.nth_query = 0
+    model._run_stage("0_query")
+    assert os.path.isfile(f"{args.dir_checkpoints}/0_query/log_train.txt")
 
 
 def test_train_cli_main(tmp_path, monkeypatch):

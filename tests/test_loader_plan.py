@@ -67,6 +67,35 @@ def test_plan_is_seeded_permutation_with_drop_last_rule():
     loader.close()
 
 
+def test_drop_unit_matches_reference_micro_schedule():
+    """With --micro_batch_size M the drop-last rule must fire at the
+    UPDATE size M, not the megabatch size, so the dropped-image set equals
+    the reference's bs-M schedule: n=53, M=4 -> the reference drops the
+    final shuffled image (53 % 4 == 1); the bs-48 megabatch loader with
+    drop_unit=4 must train on the identical 52 images in identical order."""
+    ref = Loader(_StubDataset(53), 4, mode="train", shuffle=True,
+                 n_workers=1, seed=11)
+    mega = Loader(_StubDataset(53), 48, mode="train", shuffle=True,
+                  n_workers=1, seed=11, drop_unit=4)
+    assert ref.drop_last and mega.drop_last
+    ref_plan = ref.batch_index_plan(2)
+    mega_plan = mega.batch_index_plan(2)
+    assert [len(b) for b in ref_plan] == [4] * 13
+    assert [len(b) for b in mega_plan] == [48, 4]
+    # same images, same order -> microbatch partition boundaries coincide
+    np.testing.assert_array_equal(np.concatenate(ref_plan),
+                                  np.concatenate(mega_plan))
+    ref.close()
+    mega.close()
+
+    # no drop when n % drop_unit != 1 (50 % 4 == 2)
+    ld = Loader(_StubDataset(50), 48, mode="train", shuffle=False,
+                n_workers=1, drop_unit=4)
+    assert not ld.drop_last
+    assert [len(b) for b in ld.batch_index_plan(0)] == [48, 2]
+    ld.close()
+
+
 def test_drop_last_is_train_only():
     """The remainder-1 drop applies only to train loaders. The reference
     shares the rule across every loader (utils/utils.py:107) but builds

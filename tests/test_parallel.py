@@ -205,9 +205,120 @@ def test_device_pipeline_emits_mesh_sharded_batches(tmp_path):
     np.testing.assert_array_equal(np.asarray(b0["valid"]),
                                   np.asarray(b1["valid"]))
 
-    # a non-divisible remainder batch still works (uneven GSPMD shards)
+    # a non-divisible remainder batch pads to a device multiple with
+    # valid=False duplicate rows and KEEPS the sharded spec (round-4 weak
+    # #5: it used to fall back to an unsharded program)
     b2 = pipe_mesh.sample_batch(np.arange(6), jax.random.PRNGKey(6))
-    assert np.asarray(b2["x"]).shape[0] == 6
+    assert b2.pop("n_real") == 6
+    assert np.asarray(b2["x"]).shape[0] == 8
+    assert b2["x"].sharding.spec == ("data",)
+    valid2 = np.asarray(b2["valid"])
+    assert not valid2[6:].any()  # pad rows are loss/metric-inert
+    # the real rows' content matches the unpadded plain-pipeline batch
+    b3 = pipe_plain.sample_batch(np.arange(6), jax.random.PRNGKey(6))
+    np.testing.assert_allclose(np.asarray(b2["x"])[:6], np.asarray(b3["x"]),
+                               atol=1e-5)
+    np.testing.assert_array_equal(valid2[:6], np.asarray(b3["valid"]))
+
+
+def test_pad_batch_to_devices_unit():
+    from pixelpick_tpu.parallel.mesh import get_mesh, pad_batch_to_devices
+
+    mesh = get_mesh(n_devices=8)
+    batch = {"x": np.arange(11 * 4).reshape(11, 4).astype(np.float32),
+             "valid": np.ones((11, 3), bool),
+             "y": np.zeros((11, 2), np.int64),
+             "excluded": np.zeros((11, 2), bool),
+             "index": np.arange(11, dtype=np.int32)}
+    out, n_real = pad_batch_to_devices(batch, mesh, pad_label=255)
+    assert n_real == 11 and out["x"].shape[0] == 16
+    np.testing.assert_array_equal(out["x"][:11], batch["x"])
+    np.testing.assert_array_equal(out["x"][11:], np.tile(batch["x"][-1:],
+                                                         (5, 1)))
+    assert not out["valid"][11:].any() and out["valid"][:11].all()
+    assert (out["y"][11:] == 255).all() and (out["y"][:11] == 0).all()
+    assert out["excluded"][11:].all() and not out["excluded"][:11].any()
+    assert (out["index"][11:] == -1).all()
+    # already-divisible batches pass through untouched
+    same, n = pad_batch_to_devices({"x": np.zeros((16, 2))}, mesh)
+    assert n == 16 and same["x"].shape[0] == 16
+    # no mesh, no target: identity
+    same2, n2 = pad_batch_to_devices(batch, None)
+    assert n2 == 11 and same2 is batch
+    # target_rows pads to the exact requested size (compile dedupe)
+    out3, n3 = pad_batch_to_devices({"x": np.zeros((3, 2))}, None,
+                                    target_rows=8)
+    assert n3 == 3 and out3["x"].shape[0] == 8
+
+
+def test_remainder_train_batch_shards_with_identical_loss():
+    """Round-4 weak #5 closure: a remainder train batch padded with
+    valid=False rows keeps the P('data') spec and produces the exact
+    same loss and confusion matrix as the unpadded (replicated) step."""
+    from pixelpick_tpu.config import default_args
+    from pixelpick_tpu.engine.optim import make_optimizer
+    from pixelpick_tpu.engine.trainer import create_train_state, make_train_step
+    from pixelpick_tpu.parallel.mesh import (
+        get_mesh, pad_batch_to_devices, shard_batch,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    args = default_args("cv")
+    model = _tiny_seg_model()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    tx = make_optimizer(args, variables["params"], iters_per_epoch=5)
+    step = make_train_step(model, tx, n_classes=4, mean=[0.5] * 3,
+                           std=[0.25] * 3, donate=False)
+
+    rng = np.random.default_rng(7)
+    batch = {
+        "x": rng.integers(0, 255, (11, 16, 16, 3), dtype=np.uint8),
+        "coords": rng.integers(0, 16, (11, 6, 2)).astype(np.int32),
+        "labels": rng.integers(0, 4, (11, 6)).astype(np.int32),
+        "valid": np.ones((11, 6), bool),
+    }
+    key = jax.random.PRNGKey(2)
+    state = create_train_state(variables["params"], {}, tx)
+    _, loss_ref, hist_ref = step(state, batch, key)
+
+    mesh = get_mesh(n_devices=8)
+    padded, n_real = pad_batch_to_devices(batch, mesh)
+    assert n_real == 11 and padded["x"].shape[0] == 16
+    sharded = shard_batch(padded, mesh)
+    assert sharded["x"].sharding.spec == ("data",)  # no P() fallback
+    state_r = jax.device_put(state, NamedSharding(mesh, P()))
+    _, loss_sh, hist_sh = step(state_r, sharded, key)
+
+    assert np.isclose(float(loss_ref), float(loss_sh), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(hist_ref), np.asarray(hist_sh))
+
+
+def test_remainder_val_batch_shards_with_identical_hist():
+    """Same closure for validation: remainder val batches pad with
+    ignore-labelled duplicate rows — identical confusion matrix, sharded."""
+    from pixelpick_tpu.engine.trainer import make_eval_step
+    from pixelpick_tpu.parallel.mesh import (
+        get_mesh, pad_batch_to_devices, shard_batch,
+    )
+
+    model = _tiny_seg_model()
+    rng = np.random.default_rng(8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 24, 3)))
+    batch = {
+        "x": rng.integers(0, 255, (5, 16, 24, 3), dtype=np.uint8),
+        "y": rng.integers(0, 4, (5, 16, 24)).astype(np.int32),
+    }
+    eval_fn = make_eval_step(model, n_classes=4, mean=[0.5] * 3,
+                             std=[0.25] * 3)
+    hist_ref, _, _ = eval_fn(variables["params"], {}, batch)
+
+    mesh = get_mesh(n_devices=8)
+    padded, n_real = pad_batch_to_devices(batch, mesh, pad_label=11,
+                                          target_rows=8)
+    sharded = shard_batch(padded, mesh)
+    assert sharded["x"].sharding.spec == ("data",)
+    hist_sh, _, _ = eval_fn(variables["params"], {}, sharded)
+    np.testing.assert_array_equal(np.asarray(hist_ref), np.asarray(hist_sh))
 
 
 def test_spatially_sharded_sweep_matches_single_device():

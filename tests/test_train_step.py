@@ -108,6 +108,117 @@ def test_train_step_reduces_loss_tiny_model():
     assert losses[-1] < losses[0] - 0.2, losses[:3] + losses[-3:]
 
 
+class _TinyBNModel:
+    """Small conv+BN+dropout model exercising every trajectory-coupled piece
+    (BN batch moments + running-stat EMA, per-step dropout rng, Adam state,
+    LR schedule)."""
+
+    def build(self):
+        import flax.linen as nn
+        from pixelpick_tpu.models.layers import TorchBatchNorm
+
+        class TinyBN(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False, mc_dropout_on=False,
+                         upsample=True):
+                h = nn.Conv(8, (3, 3), padding=1, name="c1")(x)
+                h = TorchBatchNorm(name="bn")(h, train)
+                h = nn.relu(h)
+                h = nn.Dropout(0.25, deterministic=not train)(h)
+                pred = nn.Conv(4, (1, 1), name="cls")(h)
+                return {"pred": pred, "emb": h}
+
+        return TinyBN()
+
+
+def _microbatch_arms(run_jitted: bool):
+    """Run the megabatch scan (arm A) and the same updates as separate
+    steps (arm B); returns (state_a, losses_a, hist_a, state_b, losses_b,
+    hists_b)."""
+    from pixelpick_tpu.config import default_args
+    from pixelpick_tpu.engine.optim import make_optimizer
+    from pixelpick_tpu.engine.trainer import make_microbatch_train_step
+
+    args = default_args("cv")
+    model = _TinyBNModel().build()
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           jnp.zeros((4, 16, 16, 3)), train=False)
+    tx = make_optimizer(args, variables["params"], iters_per_epoch=3)
+
+    B, micro, K = 12, 4, 6
+    rng = np.random.default_rng(5)
+    batch = {
+        "x": rng.integers(0, 255, (B, 16, 16, 3), dtype=np.uint8),
+        "coords": rng.integers(0, 16, (B, K, 2)).astype(np.int32),
+        "labels": rng.integers(0, 4, (B, K)).astype(np.int32),
+        "valid": rng.random((B, K)) < 0.9,  # include invalid entries
+    }
+    key = jax.random.PRNGKey(7)
+
+    def fresh_state():
+        return create_train_state(
+            jax.tree.map(jnp.array, variables["params"]),
+            jax.tree.map(jnp.array, variables["batch_stats"]), tx)
+
+    mega = make_microbatch_train_step(model, tx, micro_bs=micro, n_classes=4,
+                                      mean=[0.5] * 3, std=[0.25] * 3,
+                                      donate=False)
+    step = make_train_step(model, tx, n_classes=4, mean=[0.5] * 3,
+                           std=[0.25] * 3, donate=False)
+
+    import contextlib
+    ctx = contextlib.nullcontext() if run_jitted else jax.disable_jit()
+    with ctx:
+        state_a, losses_a, hist_a = mega(fresh_state(), batch, key)
+        state_b = fresh_state()
+        losses_b, hists_b = [], []
+        for m in range(B // micro):
+            mb = {k: v[m * micro:(m + 1) * micro] for k, v in batch.items()}
+            state_b, loss, hist = step(state_b, mb, key)
+            losses_b.append(float(loss))
+            hists_b.append(np.asarray(hist))
+    return state_a, np.asarray(losses_a), np.asarray(hist_a), \
+        state_b, np.asarray(losses_b, np.float32), hists_b
+
+
+def test_microbatch_scan_equals_sequential_steps_bitwise():
+    """make_microbatch_train_step (lax.scan of bs-4 updates) computes the
+    EXACT math of the same number of separate make_train_step calls —
+    params, Adam state, BN running stats, per-update losses, confusion
+    matrix, all bit-identical when both arms execute the same op sequence
+    (jax.disable_jit) — the trajectory-exactness claim behind
+    --micro_batch_size (VERDICT r4 next-step 1b)."""
+    state_a, losses_a, hist_a, state_b, losses_b, hists_b = \
+        _microbatch_arms(run_jitted=False)
+    np.testing.assert_array_equal(losses_a.astype(np.float32), losses_b)
+    np.testing.assert_array_equal(hist_a, np.sum(hists_b, axis=0))
+    assert int(state_a.step) == int(state_b.step) == 3
+    for pa, pb in zip(jax.tree.leaves(state_a), jax.tree.leaves(state_b)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_microbatch_scan_equals_sequential_steps_jitted():
+    """The compiled paths: XLA may reassociate arithmetic differently in
+    the scan-body program than in the standalone step program (measured:
+    <=1 ULP per step, amplified by Adam's sqrt(nu) normalisation to <=5e-5
+    absolute after 3 updates — the same noise class as recompiling with a
+    different XLA version). The confusion matrix stays exactly equal; the
+    state trees match to tight tolerance."""
+    state_a, losses_a, hist_a, state_b, losses_b, hists_b = \
+        _microbatch_arms(run_jitted=True)
+    assert losses_a.shape == (3,)
+    np.testing.assert_allclose(losses_a.astype(np.float32), losses_b,
+                               rtol=1e-6)
+    np.testing.assert_array_equal(hist_a, np.sum(hists_b, axis=0))
+    for pa, pb in zip(jax.tree.leaves(state_a), jax.tree.leaves(state_b)):
+        pa, pb = np.asarray(pa), np.asarray(pb)
+        if pa.dtype.kind == "f":
+            np.testing.assert_allclose(pa, pb, rtol=1e-3, atol=1e-4)
+        else:
+            np.testing.assert_array_equal(pa, pb)
+
+
 def test_sparse_ce_full_res_fast_path():
     """Full-resolution head (FPN): indexing fast path == bilinear gather."""
     rng = np.random.default_rng(3)
