@@ -83,18 +83,37 @@ def main():
                         help="override N_EPOCHS (smoke runs)")
     parser.add_argument("--budget", type=int, default=None,
                         help="override MAX_BUDGET (smoke runs)")
+    parser.add_argument("--n_train", type=int, default=None,
+                        help="override N_TRAIN (gate-scale runs)")
+    parser.add_argument("--n_test", type=int, default=None,
+                        help="override N_TEST")
     parser.add_argument("--arms", nargs="+", default=None,
                         help="subset of arm names to run")
+    parser.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                        help="cpu (default; deterministic, no accelerator "
+                             "needed) or tpu — the gate-scale question "
+                             "(VERDICT r4 weak #3: can the fast config EVER "
+                             "gate at 50 epochs / 367 images?) runs "
+                             "`--platform tpu --n_train 367 --epochs 50`")
     cli = parser.parse_args()
-    global N_EPOCHS, MAX_BUDGET
+    global N_EPOCHS, MAX_BUDGET, N_TRAIN, N_TEST
     if cli.epochs:
         N_EPOCHS = cli.epochs
     if cli.budget:
         MAX_BUDGET = cli.budget
+    if cli.n_train:
+        N_TRAIN = cli.n_train
+    if cli.n_test:
+        N_TEST = cli.n_test
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if cli.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from pixelpick_tpu.config import enable_compile_cache
+
+        enable_compile_cache()
 
     all_arms = {
         "bs4_reference_schedule": dict(batch_size=4, bn_group_size=0),

@@ -14,13 +14,21 @@
 #
 # The gate defaults to the REFERENCE schedule: f32, batch 4 (args.py:109),
 # ~92 optimizer steps/epoch — the full reference optimization trajectory,
-# so a miss can only implicate the framework, never the batch size. The
-# bench config (bf16, batch 48 + --bn_group_size 4 ghost BN = the
-# reference's bs-4 BN statistics at 12x fewer Adam steps/epoch) is the
-# post-gate FAST config; its trajectory equivalence on the synthetic AL
-# campaign is measured by scripts/bs_equivalence.py (results in PARITY.md).
-# Run it with FAST=1 (an explicit GATE_ARGS beats FAST). Budget: 20 px =
-# 2 rounds of 10 px.
+# so a miss can only implicate the framework, never the batch size.
+#
+# MEGA=1 runs the SAME schedule as a megabatch scan (--batch_size 48
+# --micro_batch_size 4, engine/trainer.py:make_microbatch_train_step):
+# twelve sequential bs-4 Adam updates per dispatch — update-for-update the
+# bs4 trajectory (bit-equal modulo XLA reassociation,
+# tests/test_train_step.py; campaign curve inside the bs4 seed band,
+# scripts/bs_equivalence.py arm bs48_micro4_megabatch) at a fraction of
+# the dispatch overhead. This is the recommended way to run the gate on
+# the tunnelled single-chip stack.
+#
+# FAST=1 is the post-gate THROUGHPUT config (bf16, one bs-48 update/step
+# + ghost BN): NOT trajectory-faithful (PARITY.md, BS_EQUIV_r04) — use for
+# speed once the gate has passed. An explicit GATE_ARGS beats both.
+# Budget: 20 px = 2 rounds of 10 px.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -30,8 +38,11 @@ TARGET="${TARGET:-50.8}"
 TOL="${TOL:-0.2}"
 CKPT_DIR="${CKPT_DIR:-./checkpoints}"
 FAST_ARGS="--precision bf16 --batch_size 48 --bn_group_size 4 --device_augment"
+MEGA_ARGS="--batch_size 48 --micro_batch_size 4 --device_augment"
 if [ -n "${FAST:-}" ]; then
   GATE_ARGS="${GATE_ARGS:-$FAST_ARGS}"
+elif [ -n "${MEGA:-}" ]; then
+  GATE_ARGS="${GATE_ARGS:-$MEGA_ARGS}"
 else
   GATE_ARGS="${GATE_ARGS:---batch_size 4}"
 fi
