@@ -335,7 +335,18 @@ class ALModel:
 
     def _micro_bs(self) -> int:
         """--micro_batch_size (0 = one update per batch)."""
-        return int(getattr(self.args, "micro_batch_size", 0) or 0)
+        micro = int(getattr(self.args, "micro_batch_size", 0) or 0)
+        if micro and self.mesh is not None \
+                and self.mesh.devices.size > micro \
+                and not getattr(self, "_warned_micro_mesh", False):
+            self._warned_micro_mesh = True
+            print(f"WARNING: --micro_batch_size {micro} under a "
+                  f"{self.mesh.devices.size}-device mesh: each sequential "
+                  f"micro-update spans the whole mesh at <1 image/device — "
+                  f"correct (tests/test_parallel.py) but degenerate "
+                  f"parallelism; the trajectory-exact schedule is "
+                  f"inherently update-serial")
+        return micro
 
     def _train_pad_multiple(self) -> int:
         """Remainder train batches pad to a multiple of lcm(devices,

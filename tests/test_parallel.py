@@ -293,6 +293,48 @@ def test_remainder_train_batch_shards_with_identical_loss():
     np.testing.assert_array_equal(np.asarray(hist_ref), np.asarray(hist_sh))
 
 
+def test_megabatch_scan_under_sharded_batch_matches_unsharded():
+    """--micro_batch_size under a data-parallel mesh: the scan reshapes a
+    P('data')-sharded megabatch into microbatches — GSPMD must preserve
+    the exact same update sequence (collectives inserted as needed). The
+    combination is degenerate for parallelism (each bs-4 update spans the
+    whole mesh) and the driver warns, but it must stay CORRECT."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pixelpick_tpu.config import default_args
+    from pixelpick_tpu.engine.optim import make_optimizer
+    from pixelpick_tpu.engine.trainer import (
+        create_train_state, make_microbatch_train_step,
+    )
+    from pixelpick_tpu.parallel.mesh import get_mesh, shard_batch
+
+    args = default_args("cv")
+    model = _tiny_seg_model()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    tx = make_optimizer(args, variables["params"], iters_per_epoch=4)
+    mega = make_microbatch_train_step(model, tx, micro_bs=4, n_classes=4,
+                                      mean=[0.5] * 3, std=[0.25] * 3,
+                                      donate=False)
+    rng = np.random.default_rng(9)
+    batch = {
+        "x": rng.integers(0, 255, (16, 16, 16, 3), dtype=np.uint8),
+        "coords": rng.integers(0, 16, (16, 6, 2)).astype(np.int32),
+        "labels": rng.integers(0, 4, (16, 6)).astype(np.int32),
+        "valid": np.ones((16, 6), bool),
+    }
+    key = jax.random.PRNGKey(4)
+    state = create_train_state(variables["params"], {}, tx)
+    _, losses_1, hist_1 = mega(state, batch, key)
+
+    mesh = get_mesh(n_devices=8)
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.spec == ("data",)
+    state_r = jax.device_put(state, NamedSharding(mesh, P()))
+    _, losses_8, hist_8 = mega(state_r, sharded, key)
+    np.testing.assert_allclose(np.asarray(losses_8), np.asarray(losses_1),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hist_8), np.asarray(hist_1))
+
+
 def test_remainder_val_batch_shards_with_identical_hist():
     """Same closure for validation: remainder val batches pad with
     ignore-labelled duplicate rows — identical confusion matrix, sharded."""
