@@ -76,8 +76,7 @@ class ALModel:
                              mode="train_dense" if fully_sup else "train",
                              shuffle=True, n_workers=args.n_workers,
                              seed=args.seed, human_labels=human_labels,
-                             drop_unit=None if fully_sup
-                             else (self._micro_bs() or None))
+                             drop_unit=self._micro_bs() or None)
         # variable-size datasets (VOC): bucket val/query shapes so the whole
         # sweep compiles ≤2 XLA programs per loader instead of one per image
         # shape (SURVEY §7 hard-part 5)
@@ -142,6 +141,25 @@ class ALModel:
         print("n_stages:", n_stages)
         for nth_query in range(n_stages):
             self.nth_query = nth_query
+            # --resume_campaign: a round whose NEXT queries.pkl exists on
+            # disk already ran to completion (the driver dumps picks at
+            # {nth+1}_query at round end, model.py:84) — fast-forward by
+            # merging the recorded picks instead of retraining. With
+            # --stage_ckpt_interval this makes a whole crashed campaign
+            # resumable: completed rounds skip, the interrupted stage
+            # resumes mid-epoch-loop from its stage_state.ckpt.
+            next_pkl = f"{self.dir_checkpoints}/{nth_query + 1}_query/queries.pkl"
+            if getattr(args, "resume_campaign", False) \
+                    and os.path.isfile(next_pkl):
+                import pickle as pkl
+                print(f"resume_campaign: round {nth_query} artifacts are "
+                      f"complete — fast-forwarding past train/query")
+                with open(next_pkl, "rb") as f:
+                    picks = pkl.load(f)
+                self.dataset.label_queries(picks, None)  # OR-merge, no dump
+                if nth_query == n_stages - 1:
+                    break
+                continue
             params, batch_stats = self._run_stage(f"{nth_query}_query")
             profile_dir = getattr(args, "profile_dir", "")
             with trace(f"{profile_dir}/query" if profile_dir
@@ -161,10 +179,18 @@ class ALModel:
         os.makedirs(dir_stage, exist_ok=True)
         self.log_train = f"{dir_stage}/log_train.txt"
         self.log_val = f"{dir_stage}/log_val.txt"
+        # --stage_ckpt_interval: resume an interrupted stage from its
+        # mid-stage snapshot (full TrainState + epoch + best mIoU — the
+        # reference never checkpoints optimizer state, model.py:207-216,
+        # so a crash loses the whole 50-epoch stage)
+        stage_ckpt = int(getattr(args, "stage_ckpt_interval", 0) or 0)
+        p_stage_state = f"{dir_stage}/stage_state.ckpt"
+        resuming = stage_ckpt > 0 and os.path.isfile(p_stage_state)
         # multi-host: every process runs the identical compute (collectives
         # need all participants) but only process 0 writes shared-filesystem
-        # artifacts (parallel/distributed.py contract)
-        if is_primary():
+        # artifacts (parallel/distributed.py contract). On resume the
+        # existing log rows are kept (headers would truncate).
+        if is_primary() and not resuming:
             write_log(self.log_train,
                       header=["epoch", "mIoU", "pixel_acc", "loss"])
             write_log(self.log_val, header=["epoch", "mIoU", "pixel_acc"])
@@ -178,7 +204,7 @@ class ALModel:
             params, batch_stats = load_pretrained_ckpt(
                 params, batch_stats, args.pretrained_ckpt)
         fully_sup = args.n_pixels_by_us == 0
-        micro = 0 if fully_sup else self._micro_bs()
+        micro = self._micro_bs()  # 0 in fully-supervised mode
         # LR schedules step per OPTIMIZER update: with microbatching each
         # loader batch carries ceil(rows/micro) updates, which lands the
         # Poly/MultiStep iteration count exactly on the reference's bs-4
@@ -217,6 +243,14 @@ class ALModel:
         eval_fn = LockstepJit(eval_fn, f"eval:{stage_name}")
 
         self.best_miou = -1.0
+        start_epoch = 1
+        if resuming:
+            from pixelpick_tpu.engine.checkpoint import load_stage_state
+            state, done_epoch, self.best_miou = load_stage_state(
+                p_stage_state, state)
+            start_epoch = done_epoch + 1
+            print(f"resuming {stage_name} from {p_stage_state}: epoch "
+                  f"{start_epoch} (best mIoU so far {self.best_miou:.4f})")
         self.timer = PhaseTimer()
         rng = jax.random.PRNGKey(round_seed ^ 0x5EED)
         eval_interval = max(1, getattr(args, "eval_interval", 1))
@@ -225,7 +259,7 @@ class ALModel:
         # first stage only; query-phase tracing is in __call__
         trace_epoch = min(2, args.n_epochs) if profile_dir \
             and self.nth_query <= 0 else -1
-        for epoch in range(1, 1 + args.n_epochs):
+        for epoch in range(start_epoch, 1 + args.n_epochs):
             with self.timer.phase("train", len(self.dataset)), \
                     trace(f"{profile_dir}/train" if epoch == trace_epoch
                           else None):
@@ -241,8 +275,24 @@ class ALModel:
             if epoch % eval_interval == 0 or epoch == args.n_epochs:
                 with self.timer.phase("val", len(self.dataset_val)):
                     self._val(epoch, state, eval_fn, dir_stage)
+            if stage_ckpt and epoch % stage_ckpt == 0 \
+                    and epoch != args.n_epochs:
+                # snapshot AFTER validation so best_miou is current; the
+                # final epoch needs none (the stage is complete)
+                with self.timer.phase("stage_ckpt"):
+                    if is_primary():
+                        from pixelpick_tpu.engine.checkpoint import \
+                            save_stage_state
+                        save_stage_state(p_stage_state, state, epoch,
+                                         self.best_miou)
             if self.debug:
                 break
+        if stage_ckpt and is_primary():
+            # stage complete: a later rerun must start fresh, not resume
+            try:
+                os.remove(p_stage_state)
+            except FileNotFoundError:
+                pass
         if is_primary():
             self.timer.dump(f"{dir_stage}/timing.json")
         if getattr(args, "ckpt_backend", "msgpack") == "orbax":
@@ -306,7 +356,11 @@ class ALModel:
                 groups.setdefault(getattr(loss, "shape", ()), []).append(loss)
             for group in groups.values():
                 for v in np.asarray(jnp.stack(group)).ravel():
-                    self.running_loss.update(float(v))
+                    # NaN = the scan's all-pad-microbatch no-op sentinel
+                    # (make_microbatch_train_step) — not an update, not
+                    # averaged
+                    if np.isfinite(v):
+                        self.running_loss.update(float(v))
         if overflows:
             # device-path analogue of the host extractor's overflow warning
             # (data/base.py:SPARSE_OVERFLOW_COUNT): labelled pixels beyond
@@ -334,10 +388,21 @@ class ALModel:
         return state, last_batch
 
     def _micro_bs(self) -> int:
-        """--micro_batch_size (0 = one update per batch)."""
+        """--micro_batch_size (0 = one update per batch). Inert in
+        fully-supervised mode (the dense step is a single update); must
+        divide --batch_size so megabatches partition at exactly the
+        reference's bs-micro boundaries."""
         micro = int(getattr(self.args, "micro_batch_size", 0) or 0)
-        if micro and self.mesh is not None \
-                and self.mesh.devices.size > micro \
+        if not micro or self.args.n_pixels_by_us == 0:
+            return 0
+        if self.args.batch_size % micro != 0:
+            raise ValueError(
+                f"--micro_batch_size {micro} must divide --batch_size "
+                f"{self.args.batch_size}: the megabatch scan partitions "
+                f"each batch into whole micro-updates (the reference bs-"
+                f"{micro} schedule); a non-divisor would pad every batch "
+                f"with duplicate rows and change the BN moments")
+        if self.mesh is not None and self.mesh.devices.size > micro \
                 and not getattr(self, "_warned_micro_mesh", False):
             self._warned_micro_mesh = True
             print(f"WARNING: --micro_batch_size {micro} under a "
@@ -358,7 +423,9 @@ class ALModel:
         When batch_size itself doesn't divide the mesh (bs4 on 8 chips),
         padding EVERY batch with duplicates would distort its BN moments —
         those batches keep the replicated fallback instead (the reference
-        semantics; the pre-padding behavior)."""
+        semantics; the pre-padding behavior). An all-pad micro-update this
+        padding can create (remainder below a device multiple) is a true
+        no-op in the scan (trainer.py:make_microbatch_train_step)."""
         import math
 
         n = 1
@@ -366,9 +433,7 @@ class ALModel:
                 and self.args.batch_size % self.mesh.devices.size == 0:
             n = self.mesh.devices.size
         m = self._micro_bs()
-        if m:
-            n = n * m // math.gcd(n, m)
-        return n
+        return math.lcm(n, m) if m else n
 
     def _epoch_batches(self, epoch: int, rng):
         """Host loader batches, or device-pipeline batches (index-only host

@@ -205,6 +205,22 @@ def build_parser() -> ArgumentParser:
                              "file (default, reference-style synchronous "
                              "save) or orbax async directory (background "
                              "IO for long runs)")
+    parser.add_argument("--stage_ckpt_interval", type=int, default=0,
+                        help="save a resumable mid-stage snapshot (full "
+                             "TrainState: params, BN stats, optimizer "
+                             "moments, LR step; plus epoch and best mIoU) "
+                             "every N epochs to {stage}/stage_state.ckpt; "
+                             "on restart the stage resumes from it. 0 = "
+                             "off (reference semantics: a crashed stage "
+                             "restarts from scratch, model.py:163)")
+    parser.add_argument("--resume_campaign", action="store_true",
+                        default=False,
+                        help="fast-forward AL rounds whose next-round "
+                             "queries.pkl already exists on disk (the "
+                             "round completed): merge the recorded picks "
+                             "instead of retraining. With "
+                             "--stage_ckpt_interval this makes a crashed "
+                             "campaign fully resumable")
     parser.add_argument("--profile_dir", type=str, default="",
                         help="write jax.profiler traces of the train and "
                              "query phases to this directory (TensorBoard-"

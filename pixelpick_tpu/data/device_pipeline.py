@@ -448,8 +448,7 @@ class DevicePipeline:
 
         mult = self.pad_multiple
         if self.mesh is not None and self.pad_to_devices:
-            n_dev = self.mesh.devices.size
-            mult = mult * n_dev // math.gcd(mult, n_dev)
+            mult = math.lcm(mult, self.mesh.devices.size)
         if mult > 1:
             target = -(-n_real // mult) * mult
             if target != n_real:

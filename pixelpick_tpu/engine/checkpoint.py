@@ -102,6 +102,44 @@ def save_checkpoint(path: str, params, batch_stats,
         f.write(flax.serialization.to_bytes(payload))
 
 
+def save_stage_state(path: str, state, epoch: int, best_miou: float) -> None:
+    """Full MID-STAGE training state: params, BatchNorm running stats,
+    optimizer state (Adam moments / SGD momentum / schedule step counter),
+    the completed epoch and the best val mIoU so far.
+
+    The reference never checkpoints optimizer state (``model.py:207-216``;
+    each AL round restarts from scratch anyway) — a crash 40 epochs into a
+    50-epoch stage loses the whole stage. ``--stage_ckpt_interval N`` makes
+    stages resumable: the driver saves this file every N epochs and resumes
+    from it on restart (active/driver.py:_run_stage). Saved atomically
+    (tmp + rename) so a crash mid-save keeps the previous snapshot;
+    removed when the stage completes."""
+    import flax.serialization as ser
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {
+        "state": jax.device_get(ser.to_state_dict(state)),
+        "epoch": epoch,
+        "best_miou": float(best_miou),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(ser.msgpack_serialize(payload))
+    os.replace(tmp, path)
+
+
+def load_stage_state(path: str, state_template):
+    """Restore a ``save_stage_state`` snapshot onto a freshly-built
+    TrainState template (same model/optimizer). Returns
+    ``(state, epoch, best_miou)``."""
+    import flax.serialization as ser
+
+    with open(path, "rb") as f:
+        payload = ser.msgpack_restore(f.read())
+    state = ser.from_state_dict(state_template, payload["state"])
+    return state, int(payload["epoch"]), float(payload["best_miou"])
+
+
 def load_checkpoint(path: str, params_template, batch_stats_template) -> Tuple:
     template = {"params": params_template, "batch_stats": batch_stats_template}
     orbax_dir = os.path.abspath(path) + ".orbax"

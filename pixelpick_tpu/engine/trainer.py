@@ -163,7 +163,11 @@ def make_microbatch_train_step(model, tx, *, micro_bs: int, n_classes: int,
     Returns ``(state, losses, hist)`` with ``losses`` of shape
     ``(n_micro,)`` (one per update — the epoch-mean log weights each
     update equally, exactly the reference's per-iter running loss) and
-    ``hist`` the summed confusion matrix.
+    ``hist`` the summed confusion matrix. A microbatch consisting
+    entirely of pad rows is a true no-op (state unchanged, step not
+    advanced — zero grads would otherwise still push ``wd * params``
+    through Adam via the coupled weight decay) and reports ``NaN`` in
+    its ``losses`` slot; callers skip non-finite entries.
     """
     loss_fn = _sparse_loss_fn(model, n_classes=n_classes, mean=mean, std=std,
                               normalize=normalize, gather_impl=gather_impl)
@@ -181,8 +185,19 @@ def make_microbatch_train_step(model, tx, *, micro_bs: int, n_classes: int,
                 loss_fn, has_aux=True)(s.params, s.batch_stats, mb, drop_rng)
             updates, opt_state = tx.update(grads, s.opt_state, s.params)
             params = optax.apply_updates(s.params, updates)
-            nxt = TrainState(params=params, batch_stats=new_stats,
+            upd = TrainState(params=params, batch_stats=new_stats,
                              opt_state=opt_state, step=s.step + 1)
+            # a microbatch that is ENTIRELY pad rows (lcm(devices, micro)
+            # padding of a remainder batch can exceed the last real row)
+            # must be a true no-op: zero grads still feed wd*params into
+            # Adam via the coupled weight decay, and a phantom update
+            # would advance the LR schedule past iters_per_epoch. Keep the
+            # prior state (params, opt state, BN EMA, step) wholesale and
+            # emit a NaN loss sentinel the driver's epoch-mean skips.
+            any_real = mb["valid"].any()
+            nxt = jax.tree.map(lambda a, prev: jnp.where(any_real, a, prev),
+                               upd, s)
+            loss = jnp.where(any_real, loss, jnp.nan)
             return nxt, (loss, hist)
 
         state, (losses, hists) = jax.lax.scan(body, state, micro)

@@ -219,6 +219,83 @@ def test_microbatch_scan_equals_sequential_steps_jitted():
             np.testing.assert_array_equal(pa, pb)
 
 
+def test_microbatch_all_pad_update_is_a_noop():
+    """An all-pad microbatch (lcm(devices, micro) padding can exceed the
+    last real row) must not touch the state: zero grads would still push
+    wd*params through Adam via the coupled weight decay, and a phantom
+    update would advance the LR schedule past iters_per_epoch. The scan
+    keeps the prior state wholesale and reports NaN in that losses slot."""
+    from pixelpick_tpu.config import default_args
+    from pixelpick_tpu.engine.optim import make_optimizer
+    from pixelpick_tpu.engine.trainer import make_microbatch_train_step
+
+    model = _TinyBNModel().build()
+    args = default_args("cv")
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           jnp.zeros((4, 16, 16, 3)), train=False)
+    tx = make_optimizer(args, variables["params"], iters_per_epoch=2)
+    mega = make_microbatch_train_step(model, tx, micro_bs=4, n_classes=4,
+                                      mean=[0.5] * 3, std=[0.25] * 3,
+                                      donate=False)
+    rng = np.random.default_rng(6)
+    B, K = 12, 6
+    batch = {
+        "x": rng.integers(0, 255, (B, 16, 16, 3), dtype=np.uint8),
+        "coords": rng.integers(0, 16, (B, K, 2)).astype(np.int32),
+        "labels": rng.integers(0, 4, (B, K)).astype(np.int32),
+        "valid": np.ones((B, K), bool),
+    }
+    batch["valid"][8:] = False  # final microbatch = pure padding
+
+    def fresh():
+        return create_train_state(
+            jax.tree.map(jnp.array, variables["params"]),
+            jax.tree.map(jnp.array, variables["batch_stats"]), tx)
+
+    key = jax.random.PRNGKey(3)
+    state_a, losses, hist = mega(fresh(), batch, key)
+    losses = np.asarray(losses)
+    assert np.isfinite(losses[:2]).all() and np.isnan(losses[2])
+    assert int(state_a.step) == 2  # the phantom update did not count
+
+    # identical to running only the two real microbatches
+    real = {k: v[:8] for k, v in batch.items()}
+    mega2 = make_microbatch_train_step(model, tx, micro_bs=4, n_classes=4,
+                                       mean=[0.5] * 3, std=[0.25] * 3,
+                                       donate=False)
+    state_b, losses_b, hist_b = mega2(fresh(), real, key)
+    np.testing.assert_array_equal(np.asarray(hist), np.asarray(hist_b))
+    for pa, pb in zip(jax.tree.leaves(state_a), jax.tree.leaves(state_b)):
+        pa, pb = np.asarray(pa), np.asarray(pb)
+        if pa.dtype.kind == "f":
+            np.testing.assert_allclose(pa, pb, rtol=1e-5, atol=1e-7)
+        else:
+            np.testing.assert_array_equal(pa, pb)
+
+
+def test_micro_batch_size_must_divide_batch_size(tmp_path):
+    """The driver rejects a --micro_batch_size that does not divide
+    --batch_size (a non-divisor would pad EVERY batch with duplicate rows
+    and run a schedule that is not the advertised reference bs-M one)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from helpers import synthetic_args
+    from pixelpick_tpu.active.driver import ALModel
+
+    args = synthetic_args(tmp_path, n_pixels_by_us=4, max_budget=4,
+                          n_epochs=1, batch_size=8, micro_batch_size=5)
+    with pytest.raises(ValueError, match="must divide"):
+        ALModel(args)
+
+    # inert in fully-supervised mode (dense single-update step)
+    args2 = synthetic_args(tmp_path / "fs", n_pixels_by_us=0, n_epochs=1,
+                           batch_size=8, micro_batch_size=5)
+    model = ALModel(args2)  # must not raise
+    assert model._micro_bs() == 0
+    model.close()
+
+
 def test_sparse_ce_full_res_fast_path():
     """Full-resolution head (FPN): indexing fast path == bilinear gather."""
     rng = np.random.default_rng(3)
