@@ -99,38 +99,59 @@ def warp_sample(x, y, q, crop_hw, rs_geom, *, mean_fill, ignore_index,
     Returns x_f32 (ch,cw,3) with mean fill outside, y int32 (ignore fill),
     q bool (False fill).
 
+    The warp is SEPARABLE — the source row coordinate depends only on the
+    output row and the source column only on the output column (scale +
+    crop + hflip are all axis-aligned) — so the image path is two
+    interpolation-matrix matmuls (the MXU-native form ``ops/resize.py``
+    uses), one per axis, built from the 1-D PIL-parity triangle taps. The
+    earlier per-pixel form gathered a ``(ch, cw, 4, 4, 3)`` tap tensor;
+    at batch scale XLA materialises it transposed with the tiny (4, 4)
+    dims minor-most, and the TPU's (8, 128) tiled layout pads them 32-64x
+    — a 50.9 GB allocation at bs48 360x480 (measured OOM). The matmul
+    form peaks at the output image size.
+
     ``src_hw``: true (h, w) of the sample when the arrays are padded to a
     common staging shape (variable-size datasets, VOC) — may be traced.
-    Taps are clipped to the true extent, so the pad region is never read.
+    Taps are clipped to the true extent, so the pad region is never read
+    (the one-hot matrices span the static staging extent; out-of-true-image
+    taps carry zero weight).
     """
     h, w = (src_hw if src_hw is not None else x.shape[:2])
+    sh_stage, sw_stage = x.shape[:2]  # static staging extent
     ch, cw = crop_hw
     rs, sh, sw, top, left, flip = rs_geom
 
-    ii = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
-    jj = jnp.where(flip, cw - 1 - jj, jj)
+    i1 = jnp.arange(ch, dtype=jnp.int32)
+    j1 = jnp.arange(cw, dtype=jnp.int32)
+    jj = jnp.where(flip, cw - 1 - j1, j1)
 
-    u, pos_i = _warp_coords(crop_hw, h, sh, top, ii)
-    v, pos_j = _warp_coords(crop_hw, w, sw, left, jj)
-    inside = (pos_i < sh) & (pos_j < sw)  # else bottom/right pad region
+    u, pos_i = _warp_coords(crop_hw, h, sh, top, i1)   # (ch,)
+    v, pos_j = _warp_coords(crop_hw, w, sw, left, jj)  # (cw,)
+    inside = (pos_i < sh)[:, None] & (pos_j < sw)[None, :]
 
-    # PIL-parity triangle taps for the image: antialiased when downscaling
-    # (support widens with 1/rs), exact 2-tap bilinear when upscaling
+    # PIL-parity triangle taps: antialiased when downscaling (support
+    # widens with 1/rs), exact 2-tap bilinear when upscaling
     fscale = jnp.maximum(1.0 / rs, 1.0)
-    iu, wu = _tap_weights(u, h, fscale)        # (ch,cw,4)
-    iv, wv = _tap_weights(v, w, fscale)
+    iu, wu = _tap_weights(u, h, fscale)        # (ch,4)
+    iv, wv = _tap_weights(v, w, fscale)        # (cw,4)
+    R = (jax.nn.one_hot(iu, sh_stage, dtype=jnp.float32)
+         * wu[..., None]).sum(1)               # (ch, H)
+    C = (jax.nn.one_hot(iv, sw_stage, dtype=jnp.float32)
+         * wv[..., None]).sum(1)               # (cw, W)
     xf = x.astype(jnp.float32)
-    taps = xf[iu[..., :, None], iv[..., None, :]]      # (ch,cw,4,4,3)
-    x_out = jnp.einsum("...a,...b,...abc->...c", wu, wv, taps)
+    # highest precision: keeps the matmul form bit-comparable to the old
+    # gather-multiply form on TPU (default MXU precision quantizes the
+    # 0-255 pixels to bf16); ~0.75 GFLOP/img — noise next to the step
+    x_out = jnp.einsum("Sh,hwc->Swc", R, xf, precision="highest")
+    x_out = jnp.einsum("Tw,Swc->STc", C, x_out, precision="highest")
     x_out = jnp.where(inside[..., None], x_out,
                       jnp.asarray(mean_fill, jnp.float32))
 
-    # nearest taps for label / query mask
-    un = jnp.clip(jnp.round(u).astype(jnp.int32), 0, h - 1)
-    vn = jnp.clip(jnp.round(v).astype(jnp.int32), 0, w - 1)
-    y_out = jnp.where(inside, y[un, vn], ignore_index).astype(jnp.int32)
-    q_out = jnp.where(inside, q[un, vn], False)
+    # nearest taps for label / query mask (1-D per axis, outer-indexed)
+    un = jnp.clip(jnp.round(u).astype(jnp.int32), 0, h - 1)  # (ch,)
+    vn = jnp.clip(jnp.round(v).astype(jnp.int32), 0, w - 1)  # (cw,)
+    y_out = jnp.where(inside, y[un][:, vn], ignore_index).astype(jnp.int32)
+    q_out = jnp.where(inside, q[un][:, vn], False)
     return x_out, y_out, q_out
 
 
